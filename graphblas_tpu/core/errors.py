@@ -1,0 +1,56 @@
+"""GraphBLAS error model.
+
+The reference returns ``GrB_Info`` codes with a thread-local error string
+(``Source/GB_error.c``, ``GrB_error``).  Pythonically, errors are
+exceptions carrying the equivalent info code; ``GrB_SUCCESS`` /
+``GrB_NO_VALUE`` map to normal returns.
+"""
+
+from __future__ import annotations
+
+import enum
+
+__all__ = ["Info", "GraphBLASError", "DimensionMismatch", "DomainMismatch",
+           "IndexOutOfBounds", "InvalidValue", "EmptyObject"]
+
+
+class Info(enum.IntEnum):
+    # mirror of GrB_Info (Include/GraphBLAS.h:285-310)
+    SUCCESS = 0
+    NO_VALUE = 1
+    UNINITIALIZED_OBJECT = 2
+    INVALID_OBJECT = 3
+    NULL_POINTER = 4
+    INVALID_VALUE = 5
+    INVALID_INDEX = 6
+    DOMAIN_MISMATCH = 7
+    DIMENSION_MISMATCH = 8
+    OUTPUT_NOT_EMPTY = 9
+    OUT_OF_MEMORY = 10
+    INSUFFICIENT_SPACE = 11
+    INDEX_OUT_OF_BOUNDS = 12
+    PANIC = 13
+
+
+class GraphBLASError(Exception):
+    info = Info.PANIC
+
+
+class DimensionMismatch(GraphBLASError):
+    info = Info.DIMENSION_MISMATCH
+
+
+class DomainMismatch(GraphBLASError):
+    info = Info.DOMAIN_MISMATCH
+
+
+class IndexOutOfBounds(GraphBLASError):
+    info = Info.INDEX_OUT_OF_BOUNDS
+
+
+class InvalidValue(GraphBLASError):
+    info = Info.INVALID_VALUE
+
+
+class EmptyObject(GraphBLASError):
+    info = Info.UNINITIALIZED_OBJECT

@@ -1,0 +1,350 @@
+"""Sparse matrix / vector containers, TPU-native.
+
+The reference stores one opaque mutable struct with four formats (CSR, CSC,
+hypersparse x2) plus pending-tuple and zombie machinery
+(``Source/Template/GB_matrix.h``).  The TPU-native design is different by
+construction:
+
+* A :class:`Matrix` is an **immutable pytree**: a dense value array plus a
+  boolean structure ``pattern`` (the "bitmap" of present entries).  This is
+  simultaneously (a) the representation the reference's own executable spec
+  uses (``Test/GB_spec_*.m`` carry ``matrix`` + ``pattern`` + ``class``),
+  (b) a static-shape object XLA can jit without recompilation, and (c) the
+  layout the MXU wants for masked mxm.
+* Large graphs use the padded-CSR container in ``graphblas_tpu.sparse``;
+  conversions between the two are O(nnz) gather/scatters.
+* Pending tuples / zombies / the matrix queue (``GB_pending_add.c``,
+  ``GB_wait.c``, ``GB_queue_*.c``) exist for *mutation batching*; in a
+  functional API they become an explicit host-side delta list that
+  :meth:`Matrix.wait` folds in.  ``setElement`` appends to the delta,
+  exactly mirroring non-blocking mode.
+
+Canonical invariant: ``values`` holds the type's zero at absent positions,
+so plus-times matmuls run straight on the MXU with no masking pass.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import types as gbtypes
+from .errors import DimensionMismatch, EmptyObject, IndexOutOfBounds
+from .ops import BinaryOp, binary
+from .types import Type, BOOL, FP64, cast, cast_value, type_of_dtype
+
+__all__ = ["Matrix", "Vector"]
+
+
+def _tree_zeros(t: Type, shape):
+    return gbtypes.zeros_like_typed(shape, t)
+
+
+def _tree_where(mask, a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(mask, x, y), a, b)
+
+
+class _Base:
+    """Shared functional container: values + pattern + type."""
+
+    __slots__ = ("values", "pattern", "type", "_pending")
+
+    def __init__(self, values, pattern, type: Type,
+                 pending: Optional[List[Tuple]] = None):
+        self.values = values
+        self.pattern = pattern
+        self.type = type
+        # non-blocking-mode delta buffer: list of (i, j, scalar, accum_op)
+        self._pending = list(pending) if pending else []
+
+    # -- pytree protocol ------------------------------------------------------
+    def tree_flatten(self):
+        return (self.values, self.pattern), (self.type, tuple(self._pending))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        values, pattern = children
+        obj = cls.__new__(cls)
+        _Base.__init__(obj, values, pattern, aux[0], list(aux[1]))
+        return obj
+
+    # -- shape / introspection -------------------------------------------------
+    @property
+    def shape(self):
+        leaf = jax.tree_util.tree_leaves(self.values)[0]
+        return leaf.shape
+
+    def nvals(self) -> int:
+        """# of entries (reference ``GrB_Matrix_nvals``; waits first)."""
+        m = self.wait()
+        return int(jnp.sum(m.pattern))
+
+    @property
+    def dtype(self):
+        return self.type.dtype
+
+    def _replace(self, values=None, pattern=None, type=None, pending=None):
+        cls = builtins_cls = self.__class__
+        obj = cls.__new__(cls)
+        _Base.__init__(
+            obj,
+            self.values if values is None else values,
+            self.pattern if pattern is None else pattern,
+            self.type if type is None else type,
+            self._pending if pending is None else pending,
+        )
+        return obj
+
+    # -- canonicalization -------------------------------------------------------
+    def canonical(self):
+        """Zero out values at absent positions (the storage invariant)."""
+        z = _tree_zeros(self.type, self.shape)
+        return self._replace(values=_tree_where(self.pattern, self.values, z))
+
+    # -- pending tuples (non-blocking mode) --------------------------------------
+    def wait(self):
+        """Assemble pending tuples (reference ``GB_wait`` / ``GrB_wait``)."""
+        if not self._pending:
+            return self
+        vals, pat = self.values, self.pattern
+        # group pending tuples into one scatter per accum op, preserving order
+        for (idx, scalar, accum) in self._pending:
+            s = jnp.asarray(cast_value(scalar, self.type)) if not self.type.is_udt \
+                else {k: jnp.asarray(v) for k, v in scalar.items()}
+            present = pat[idx]
+            if accum is None or isinstance(accum, str):
+                newv = s
+            else:
+                newv = jnp.where(present, accum(vals[idx], s), s)
+            if self.type.is_udt:
+                vals = {k: vals[k].at[idx].set(newv[k]) for k in vals}
+            else:
+                vals = vals.at[idx].set(jnp.asarray(newv, vals.dtype))
+            pat = pat.at[idx].set(True)
+        return self._replace(values=vals, pattern=pat, pending=[]).canonical()
+
+    # -- element access ------------------------------------------------------------
+    def setElement(self, value, *index, accum: Optional[BinaryOp] = None,
+                   blocking: bool = True):
+        """Functional setElement.  With ``blocking=False`` the update is
+        appended to the pending-delta buffer (reference ``GB_setElement`` ->
+        ``GB_pending_add``) and folded in by :meth:`wait`."""
+        idx = index if len(index) > 1 else index[0]
+        out = self._replace(pending=self._pending + [(idx, value, accum)])
+        return out.wait() if blocking else out
+
+    def extractElement(self, *index):
+        m = self.wait()
+        idx = index if len(index) > 1 else index[0]
+        present = bool(np.asarray(m.pattern[idx]))
+        if not present:
+            return None  # GrB_NO_VALUE
+        if self.type.is_udt:
+            return {k: np.asarray(v[idx])[()] for k, v in m.values.items()}
+        return np.asarray(m.values[idx])[()]
+
+    def removeElement(self, *index):
+        m = self.wait()
+        idx = index if len(index) > 1 else index[0]
+        return m._replace(pattern=m.pattern.at[idx].set(False)).canonical()
+
+    def clear(self):
+        """Remove all entries, keep shape/type (``GrB_Matrix_clear``)."""
+        return self._replace(
+            values=_tree_zeros(self.type, self.shape),
+            pattern=jnp.zeros(self.shape, dtype=np.bool_), pending=[])
+
+    def dup(self):
+        return self._replace()
+
+    # -- conversion ------------------------------------------------------------------
+    def to_dense(self, fill=None):
+        m = self.wait()
+        if fill is None:
+            return np.asarray(m.values)
+        return np.asarray(_tree_where(m.pattern, m.values,
+                                      jnp.full(m.shape, fill)))
+
+    def pattern_np(self):
+        return np.asarray(self.wait().pattern)
+
+
+@jax.tree_util.register_pytree_node_class
+class Matrix(_Base):
+    """A GrB_Matrix: dense-bitmap storage (values + pattern), shape [m, n]."""
+
+    # -- constructors -------------------------------------------------------------
+    @staticmethod
+    def new(type: Type, nrows: int, ncols: int) -> "Matrix":
+        return Matrix(_tree_zeros(type, (nrows, ncols)),
+                      jnp.zeros((nrows, ncols), dtype=np.bool_), type)
+
+    @staticmethod
+    def from_dense(arr, type: Optional[Type] = None,
+                   pattern=None) -> "Matrix":
+        arr = jnp.asarray(arr)
+        t = type or type_of_dtype(arr.dtype)
+        arr = cast(arr, t)
+        pat = (jnp.ones(arr.shape, np.bool_) if pattern is None
+               else jnp.asarray(pattern, np.bool_))
+        return Matrix(arr, pat, t).canonical()
+
+    @staticmethod
+    def from_coo(I, J, X, nrows: int, ncols: int,
+                 type: Optional[Type] = None,
+                 dup: Optional[BinaryOp] = None) -> "Matrix":
+        """Build from tuples (reference ``GrB_Matrix_build`` ->
+        ``GB_builder``: sort + assemble dups with the dup operator).
+
+        Host-side numpy build: sorts by (i, j) then reduces duplicates in
+        order, matching the reference's "last-to-first in input order"
+        assembly via the dup op (default PLUS).
+        """
+        I = np.asarray(I, dtype=np.int64)
+        J = np.asarray(J, dtype=np.int64)
+        X = np.asarray(X)
+        t = type or type_of_dtype(X.dtype)
+        if I.size and (I.min() < 0 or I.max() >= nrows or
+                       J.min() < 0 or J.max() >= ncols):
+            raise IndexOutOfBounds(f"tuple index out of range for "
+                                   f"{nrows}x{ncols} matrix")
+        dup = dup or binary.plus[t]
+        vals = np.zeros((nrows, ncols), dtype=t.dtype)
+        pat = np.zeros((nrows, ncols), dtype=np.bool_)
+        if I.size:
+            # stable sort by (i,j); assemble duplicates in input order
+            order = np.lexsort((J, I))
+            Is, Js, Xs = I[order], J[order], X[order]
+            Xs = np.asarray([cast_value(x, t) for x in Xs.tolist()],
+                            dtype=t.dtype) if Xs.dtype != t.dtype else Xs
+            # first occurrence seeds; subsequent dups fold with dup op
+            lin = Is * ncols + Js
+            first = np.ones(len(lin), dtype=bool)
+            first[1:] = lin[1:] != lin[:-1]
+            vflat = vals.reshape(-1)
+            pflat = pat.reshape(-1)
+            # vectorized: place first occurrences
+            vflat[lin[first]] = Xs[first]
+            pflat[lin[first]] = True
+            # fold duplicates sequentially (rare path; exact semantics)
+            dup_idx = np.nonzero(~first)[0]
+            if dup_idx.size:
+                fn = np.vectorize(lambda a, b: np.asarray(
+                    jax.device_get(dup(jnp.asarray(a), jnp.asarray(b)))),
+                    otypes=[t.dtype])
+                for k in dup_idx:
+                    vflat[lin[k]] = fn(vflat[lin[k]], Xs[k])
+            vals = vflat.reshape(nrows, ncols)
+            pat = pflat.reshape(nrows, ncols)
+        return Matrix(jnp.asarray(vals), jnp.asarray(pat), t).canonical()
+
+    @staticmethod
+    def from_scipy(sp, type: Optional[Type] = None) -> "Matrix":
+        coo = sp.tocoo()
+        return Matrix.from_coo(coo.row, coo.col, coo.data,
+                               *sp.shape, type=type)
+
+    # -- shape ---------------------------------------------------------------------
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    def resize(self, nrows: int, ncols: int) -> "Matrix":
+        """``GxB_Matrix_resize``: grow with empties / shrink pruning."""
+        m = self.wait()
+        om, on = m.shape
+
+        def fit(a, fillv):
+            a = a[:min(om, nrows), :min(on, ncols)]
+            pad = ((0, max(0, nrows - om)), (0, max(0, ncols - on)))
+            return jnp.pad(a, pad, constant_values=fillv)
+        vals = jax.tree_util.tree_map(lambda a: fit(a, 0), m.values)
+        pat = fit(m.pattern, False)
+        return m._replace(values=vals, pattern=pat)
+
+    def extractTuples(self):
+        """Return (I, J, X) numpy arrays in row-major (CSR) order."""
+        m = self.wait()
+        pat = np.asarray(m.pattern)
+        I, J = np.nonzero(pat)
+        if self.type.is_udt:
+            X = {k: np.asarray(v)[I, J] for k, v in m.values.items()}
+        else:
+            X = np.asarray(m.values)[I, J]
+        return I.astype(np.int64), J.astype(np.int64), X
+
+    def T(self) -> "Matrix":
+        """Structural transpose (no mask/accum; see ops.transpose for full)."""
+        m = self.wait()
+        return m._replace(
+            values=jax.tree_util.tree_map(lambda a: a.T, m.values),
+            pattern=m.pattern.T)
+
+    def __repr__(self):  # pragma: no cover
+        return (f"Matrix<{self.type.name}> {self.shape[0]}x{self.shape[1]}, "
+                f"{int(jnp.sum(self.pattern))} entries"
+                + (f", {len(self._pending)} pending" if self._pending else ""))
+
+
+@jax.tree_util.register_pytree_node_class
+class Vector(_Base):
+    """A GrB_Vector: shape [n].  (Reference: a vlen x 1 CSC matrix.)"""
+
+    @staticmethod
+    def new(type: Type, n: int) -> "Vector":
+        return Vector(_tree_zeros(type, (n,)),
+                      jnp.zeros((n,), dtype=np.bool_), type)
+
+    @staticmethod
+    def from_dense(arr, type: Optional[Type] = None, pattern=None) -> "Vector":
+        arr = jnp.asarray(arr)
+        t = type or type_of_dtype(arr.dtype)
+        arr = cast(arr, t)
+        pat = (jnp.ones(arr.shape, np.bool_) if pattern is None
+               else jnp.asarray(pattern, np.bool_))
+        return Vector(arr, pat, t).canonical()
+
+    @staticmethod
+    def from_coo(I, X, n: int, type: Optional[Type] = None,
+                 dup: Optional[BinaryOp] = None) -> "Vector":
+        I = np.asarray(I, dtype=np.int64)
+        X = np.asarray(X)
+        m = Matrix.from_coo(I, np.zeros_like(I), X, n, 1, type=type, dup=dup)
+        return Vector(jax.tree_util.tree_map(lambda a: a[:, 0], m.values),
+                      m.pattern[:, 0], m.type)
+
+    @property
+    def size(self) -> int:
+        return self.shape[0]
+
+    def extractTuples(self):
+        v = self.wait()
+        pat = np.asarray(v.pattern)
+        (I,) = np.nonzero(pat)
+        if self.type.is_udt:
+            X = {k: np.asarray(val)[I] for k, val in v.values.items()}
+        else:
+            X = np.asarray(v.values)[I]
+        return I.astype(np.int64), X
+
+    def resize(self, n: int) -> "Vector":
+        v = self.wait()
+        on = v.shape[0]
+
+        def fit(a, fillv):
+            a = a[:min(on, n)]
+            return jnp.pad(a, (0, max(0, n - on)), constant_values=fillv)
+        return v._replace(
+            values=jax.tree_util.tree_map(lambda a: fit(a, 0), v.values),
+            pattern=fit(v.pattern, False))
+
+    def __repr__(self):  # pragma: no cover
+        return (f"Vector<{self.type.name}> n={self.shape[0]}, "
+                f"{int(jnp.sum(self.pattern))} entries")

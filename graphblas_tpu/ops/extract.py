@@ -1,0 +1,69 @@
+"""Submatrix extraction: C<M> = accum(C, A(I,J)).
+
+Reference: ``Source/GB_extract.c`` driving ``Template/GB_subref_template.c``
+(symbolic/numeric subref with binary search, I-inverse buckets, zombie
+awareness).  On the bitmap backend extraction is a single XLA gather.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.descriptor import Descriptor, desc_of
+from ..core.mask import accum_mask
+from ..core.matrix import Matrix, Vector
+from ..core.ops import BinaryOp
+from ..utils.indices import normalize_indices
+
+__all__ = ["extract", "extract_vector", "extract_col"]
+
+_tmap = jax.tree_util.tree_map
+
+
+def extract(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
+            A: Matrix, I: Any = None, J: Any = None,
+            desc: Optional[Descriptor] = None) -> Matrix:
+    """C<M> = accum(C, A(I,J)) (reference ``GrB_Matrix_extract``)."""
+    d = desc_of(desc)
+    A = A.wait()
+    vals, pat = A.values, A.pattern
+    if d.tran0:
+        vals = _tmap(lambda a: a.T, vals)
+        pat = pat.T
+    nr, nc = pat.shape
+    Ii = normalize_indices(I, nr)
+    Jj = normalize_indices(J, nc)
+    ix = np.ix_(Ii, Jj)
+    T = Matrix(_tmap(lambda a: a[ix], vals), pat[ix], A.type)
+    return accum_mask(C, M, T, accum, d)
+
+
+def extract_vector(w: Vector, m: Optional[Vector],
+                   accum: Optional[BinaryOp], u: Vector, I: Any = None,
+                   desc: Optional[Descriptor] = None) -> Vector:
+    """w<m> = accum(w, u(I)) (``GrB_Vector_extract``)."""
+    d = desc_of(desc)
+    u = u.wait()
+    Ii = normalize_indices(I, u.shape[0])
+    T = Vector(_tmap(lambda a: a[Ii], u.values), u.pattern[Ii], u.type)
+    return accum_mask(w, m, T, accum, d)
+
+
+def extract_col(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
+                A: Matrix, I: Any = None, j: int = 0,
+                desc: Optional[Descriptor] = None) -> Vector:
+    """w<m> = accum(w, A(I,j)); TRAN0 extracts the row A(j,I)'
+    (``GrB_Col_extract``)."""
+    d = desc_of(desc)
+    A = A.wait()
+    vals, pat = A.values, A.pattern
+    if d.tran0:
+        vals = _tmap(lambda a: a.T, vals)
+        pat = pat.T
+    Ii = normalize_indices(I, pat.shape[0])
+    T = Vector(_tmap(lambda a: a[Ii, j], vals), pat[Ii, j], A.type)
+    return accum_mask(w, m, T, accum, d)

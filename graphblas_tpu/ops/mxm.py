@@ -1,0 +1,291 @@
+"""Masked semiring matrix multiply: mxm / mxv / vxm.
+
+Reference call stack (``SURVEY.md`` 3.1): GrB_mxm -> GB_mxm -> GB_AxB_meta
+(transpose/format canonicalization + Gustavson/heap/dot selection) ->
+generated per-semiring worker -> GB_accum_mask.  960 stamped C worker files
+implement the inner loops (``Source/Generated/``).
+
+TPU-native design: on the bitmap backend there is ONE mm engine with three
+value paths, selected by (add-monoid, mult-op) pattern matching — the
+analogue of ``GB_semiring_builtin.c``:
+
+  * **MXU path**: semirings whose reduction is a true dot product
+    (PLUS_TIMES, PLUS_FIRST/SECOND/PAIR, LOR_LAND, LAND_LOR, LXOR_LAND, ...)
+    run as one ``jnp.matmul`` on the 128x128 systolic array, with the
+    structure matmul (pattern) fused alongside.  This is where the FLOPs go.
+  * **VPU generic path**: arbitrary (monoid x binop), including
+    user-defined ops and UDT struct types, run as a k-blocked
+    ``lax.scan`` of broadcast multiply + monoid tree-reduce sized to fit
+    on-chip memory.  jit monomorphizes per semiring — zero codegen.
+  * Sparse CSR inputs route to the Pallas kernels in
+    ``graphblas_tpu.sparse`` (large-graph path).
+
+Masks and accumulators fuse as epilogues (``core.mask``) rather than the
+reference's separate GB_mask/GB_add passes — XLA fuses the selects into the
+matmul's consumer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.descriptor import Descriptor, desc_of
+from ..core.errors import DimensionMismatch
+from ..core.mask import accum_mask
+from ..core.matrix import Matrix, Vector
+from ..core.ops import BinaryOp
+from ..core.semirings import Semiring
+from ..core.types import Type, BOOL, cast
+
+__all__ = ["mxm", "mxv", "vxm", "semiring_mm"]
+
+_tmap = jax.tree_util.tree_map
+
+
+def _count_dtype(k: int):
+    # pattern matmul accumulates counts <= k; f32 is exact below 2^24 and
+    # rides the MXU.  Larger inner dims fall back to int32 accumulation.
+    return jnp.float32 if k < (1 << 24) else jnp.int32
+
+
+def _pattern_mm(Ap, Bp):
+    k = Ap.shape[-1]
+    dt = _count_dtype(k)
+    # HIGHEST keeps the f32 count matmul exact (TPU default would round
+    # the 1.0 inputs through bf16 passes — fine — but products of counts
+    # must accumulate exactly, so be explicit).
+    cnt = jnp.matmul(Ap.astype(dt), Bp.astype(dt),
+                     preferred_element_type=dt,
+                     precision=jax.lax.Precision.HIGHEST)
+    return cnt > 0
+
+
+def _truthy(vals, pat, t: Type):
+    if t.is_bool:
+        return vals & pat
+    return (vals != 0) & pat
+
+
+def _dot(a, b, out_dtype):
+    """Value matmul with an accumulation dtype that preserves semantics.
+
+    Integer PLUS wraps mod 2^bits; accumulating in a wider power-of-two
+    integer then truncating is congruent, so int32 accumulation is exact
+    for <=32-bit outputs.  float paths accumulate in f32 (MXU native).
+    """
+    od = np.dtype(out_dtype)
+    if od.kind in "ui":
+        acc = jnp.int32 if od.itemsize <= 4 else jnp.int64
+        r = jnp.matmul(a.astype(acc), b.astype(acc),
+                       preferred_element_type=acc,
+                       precision=jax.lax.Precision.HIGHEST)
+        return r.astype(od)
+    acc = od if od in (np.dtype(np.float64), np.dtype(np.complex64),
+                       np.dtype(np.complex128)) else jnp.float32
+    # HIGHEST = true-f32 passes on the MXU; GraphBLAS results must match
+    # the reference within roundoff, not within bf16.  Perf-critical bool
+    # and counting semirings go through _pattern_mm / integer paths.
+    return jnp.matmul(a.astype(acc), b.astype(acc),
+                      preferred_element_type=acc,
+                      precision=jax.lax.Precision.HIGHEST).astype(od)
+
+
+# ---------------------------------------------------------------------------
+# MXU-mappable semiring table (the GB_semiring_builtin analogue)
+# ---------------------------------------------------------------------------
+
+def _mxu_path(sr: Semiring, Av, Ap, Bv, Bp):
+    """Return (values, 'method') if this semiring maps onto one matmul."""
+    add, mult = sr.add.op.name, sr.mult.name
+    zt = sr.ztype
+    xt, yt = sr.xtype, sr.ytype
+    if zt.is_udt or xt.is_udt:
+        return None
+
+    if add == "PLUS" and not zt.is_bool:
+        if mult == "TIMES":
+            a = cast(Av, xt) if not xt.is_bool else Av
+            b = cast(Bv, yt) if not yt.is_bool else Bv
+            return _dot(a, b, zt.dtype), "mxu:plus_times"
+        if mult == "FIRST":
+            return _dot(cast(Av, zt), Bp, zt.dtype), "mxu:plus_first"
+        if mult == "SECOND":
+            return _dot(Ap, cast(Bv, zt), zt.dtype), "mxu:plus_second"
+        if mult == "PAIR":
+            return _dot(Ap, Bp, zt.dtype), "mxu:plus_pair"
+        if mult == "LAND":
+            return _dot(_truthy(Av, Ap, xt), _truthy(Bv, Bp, yt),
+                        zt.dtype), "mxu:plus_land"
+
+    if zt.is_bool:
+        at = _truthy(cast(Av, BOOL), Ap, BOOL)
+        bt = _truthy(cast(Bv, BOOL), Bp, BOOL)
+        if (add, mult) in (("LOR", "LAND"), ("LOR", "TIMES"), ("MAX", "LAND")):
+            return _pattern_mm(at, bt), "mxu:lor_land"
+        if (add, mult) in (("LAND", "LOR"), ("MIN", "LOR")):
+            # AND_k (a|b) over pairs = no pair with (~a & ~b)
+            bad = _pattern_mm(Ap & ~at, Bp & ~bt)
+            return ~bad, "mxu:land_lor"
+        if (add, mult) in (("LXOR", "LAND"), ("LXOR", "TIMES")):
+            k = Ap.shape[-1]
+            dt = _count_dtype(k)
+            cnt = jnp.matmul(at.astype(dt), bt.astype(dt),
+                             preferred_element_type=dt)
+            return cnt.astype(jnp.int32) % 2 != 0, "mxu:lxor_land"
+        if (add, mult) == ("LOR", "FIRST"):
+            return _pattern_mm(at, Bp), "mxu:lor_first"
+        if (add, mult) == ("LOR", "SECOND"):
+            return _pattern_mm(Ap, bt), "mxu:lor_second"
+        if (add, mult) == ("LAND", "FIRST"):
+            return ~_pattern_mm(Ap & ~at, Bp), "mxu:land_first"
+        if (add, mult) == ("LAND", "SECOND"):
+            return ~_pattern_mm(Ap, Bp & ~bt), "mxu:land_second"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# generic VPU path: k-blocked scan of broadcast-mult + monoid reduce
+# ---------------------------------------------------------------------------
+
+_GENERIC_BUDGET = 1 << 23  # max elements of the [m, KC, n] broadcast block
+
+
+def _generic_path(sr: Semiring, Av, Ap, Bv, Bp):
+    m, k = Ap.shape
+    n = Bp.shape[1]
+    xt, yt, zt = sr.xtype, sr.ytype, sr.ztype
+    if not xt.is_udt:
+        Av = cast(Av, xt)
+    if not yt.is_udt:
+        Bv = cast(Bv, yt)
+    ident = sr.add.identity_array(())
+
+    kc = max(1, min(k, _GENERIC_BUDGET // max(1, m * n)))
+    nblk = -(-k // kc)
+    kpad = nblk * kc
+    if kpad != k:
+        Av = _tmap(lambda a: jnp.pad(a, ((0, 0), (0, kpad - k))), Av)
+        Bv = _tmap(lambda a: jnp.pad(a, ((0, kpad - k), (0, 0))), Bv)
+        Ap = jnp.pad(Ap, ((0, 0), (0, kpad - k)))
+        Bp = jnp.pad(Bp, ((0, kpad - k), (0, 0)))
+
+    # reshape into blocks: A [m, nblk, kc], B [nblk, kc, n]
+    Avb = _tmap(lambda a: a.reshape(m, nblk, kc).transpose(1, 0, 2), Av)
+    Bvb = _tmap(lambda a: a.reshape(nblk, kc, n), Bv)
+    Apb = Ap.reshape(m, nblk, kc).transpose(1, 0, 2)
+    Bpb = Bp.reshape(nblk, kc, n)
+
+    def block(carry, blk):
+        avb, apb, bvb, bpb = blk
+        a3 = _tmap(lambda a: a[:, :, None], avb)        # [m, kc, 1]
+        b3 = _tmap(lambda b: b[None, :, :], bvb)        # [1, kc, n]
+        pair = apb[:, :, None] & bpb[None, :, :]        # [m, kc, n]
+        z = sr.mult(a3, b3)
+        if zt.is_udt:
+            z = _tmap(lambda zz, ii: jnp.where(
+                pair, jnp.broadcast_to(zz, pair.shape),
+                jnp.asarray(ii)), z, ident)
+            contrib = _udt_reduce(sr, z, axis=1)
+        else:
+            z = jnp.where(pair, jnp.broadcast_to(z, pair.shape),
+                          jnp.asarray(ident, zt.dtype))
+            contrib = sr.add.reduce(z, axis=1)
+        return sr.add(carry, contrib), None
+
+    if zt.is_udt:
+        init = _tmap(lambda i: jnp.broadcast_to(jnp.asarray(i), (m, n)), ident)
+    else:
+        init = jnp.broadcast_to(jnp.asarray(ident, zt.dtype), (m, n))
+    out, _ = jax.lax.scan(block, init, (Avb, Apb, Bvb, Bpb))
+    return out, "vpu:generic"
+
+
+def _udt_reduce(sr, z, axis):
+    from ..core.monoids import _pairwise_reduce
+    return _pairwise_reduce(sr.add.op, z, axis, sr.add.identity)
+
+
+def semiring_mm(sr: Semiring, Av, Ap, Bv, Bp):
+    """T = A *.semiring* B on (values, pattern) pairs.
+
+    Returns (Tvals, Tpat, method_used).  The `method_used` string is the
+    analogue of the reference's per-matrix ``AxB_method_used`` introspection
+    (``GB_matrix.h:351``).
+    """
+    if Ap.shape[1] != Bp.shape[0]:
+        raise DimensionMismatch(
+            f"inner dims {Ap.shape} x {Bp.shape}")
+    tpat = _pattern_mm(Ap, Bp)
+    fast = _mxu_path(sr, Av, Ap, Bv, Bp)
+    if fast is not None:
+        vals, method = fast
+    else:
+        vals, method = _generic_path(sr, Av, Ap, Bv, Bp)
+    zt = sr.ztype
+    if zt.is_udt:
+        vals = _tmap(lambda v: jnp.where(tpat, v, jnp.zeros_like(v)), vals)
+    else:
+        vals = jnp.where(tpat, vals.astype(zt.dtype),
+                         jnp.zeros((), zt.dtype))
+    return vals, tpat, method
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
+        semiring: Semiring, A: Matrix, B: Matrix,
+        desc: Optional[Descriptor] = None) -> Matrix:
+    """C<M> = accum(C, A*B) (reference ``GrB_mxm`` -> ``GB_mxm.c``)."""
+    d = desc_of(desc)
+    A = A.wait()
+    B = B.wait()
+    Av, Ap = (A.values, A.pattern)
+    Bv, Bp = (B.values, B.pattern)
+    if d.tran0:
+        Av, Ap = _tmap(lambda a: a.T, Av), Ap.T
+    if d.tran1:
+        Bv, Bp = _tmap(lambda b: b.T, Bv), Bp.T
+    tvals, tpat, _ = semiring_mm(semiring, Av, Ap, Bv, Bp)
+    T = Matrix(tvals, tpat, semiring.ztype)
+    return accum_mask(C, M, T, accum, d)
+
+
+def mxv(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
+        semiring: Semiring, A: Matrix, u: Vector,
+        desc: Optional[Descriptor] = None) -> Vector:
+    """w<m> = accum(w, A*u) (reference ``GrB_mxv``)."""
+    d = desc_of(desc)
+    A = A.wait()
+    u = u.wait()
+    Av, Ap = (A.values, A.pattern)
+    if d.tran0:
+        Av, Ap = _tmap(lambda a: a.T, Av), Ap.T
+    uv = _tmap(lambda a: a[:, None], u.values)
+    up = u.pattern[:, None]
+    tvals, tpat, _ = semiring_mm(semiring, Av, Ap, uv, up)
+    T = Vector(_tmap(lambda a: a[:, 0], tvals), tpat[:, 0], semiring.ztype)
+    return accum_mask(w, m, T, accum, d)
+
+
+def vxm(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
+        semiring: Semiring, u: Vector, A: Matrix,
+        desc: Optional[Descriptor] = None) -> Vector:
+    """w<m> = accum(w, u'*A) (reference ``GrB_vxm``; INP1 transposes A)."""
+    d = desc_of(desc)
+    A = A.wait()
+    u = u.wait()
+    Av, Ap = (A.values, A.pattern)
+    if d.tran1:
+        Av, Ap = _tmap(lambda a: a.T, Av), Ap.T
+    uv = _tmap(lambda a: a[None, :], u.values)
+    up = u.pattern[None, :]
+    tvals, tpat, _ = semiring_mm(semiring, uv, up, Av, Ap)
+    T = Vector(_tmap(lambda a: a[0, :], tvals), tpat[0, :], semiring.ztype)
+    return accum_mask(w, m, T, accum, d)

@@ -1,0 +1,78 @@
+"""Reductions: matrix -> vector (per-row monoid reduce) and -> scalar.
+
+Reference: ``Source/GB_reduce_to_column.c`` (w<m> = accum(w, sum(A)) across
+rows) and ``GB_reduce_to_scalar.c`` (linear scan with terminal early-exit).
+On TPU a reduction is one fused VPU pass; the "terminal" optimization is
+moot inside a single fused kernel but monoid terminals are still used by
+host-side iteration loops (e.g. BFS convergence tests).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.descriptor import Descriptor, desc_of
+from ..core.mask import accum_mask
+from ..core.matrix import Matrix, Vector
+from ..core.monoids import Monoid
+from ..core.ops import BinaryOp
+from ..core.types import cast, cast_value
+
+__all__ = ["reduce_to_vector", "reduce_to_scalar", "reduce"]
+
+
+def _as_monoid(op: Union[Monoid, BinaryOp]) -> Monoid:
+    if isinstance(op, Monoid):
+        return op
+    # a bare associative binary op: look up the matching built-in monoid
+    from ..core.monoids import monoid as monoid_ns
+    return monoid_ns[op.name.lower()][op.ztype]
+
+
+def reduce_to_vector(w: Vector, m: Optional[Vector],
+                     accum: Optional[BinaryOp],
+                     op: Union[Monoid, BinaryOp], A: Matrix,
+                     desc: Optional[Descriptor] = None) -> Vector:
+    """w<m> = accum(w, reduce-rows(A)); TRAN0 reduces columns instead."""
+    d = desc_of(desc)
+    mon = _as_monoid(op)
+    A = A.wait()
+    vals, pat = A.values, A.pattern
+    if d.tran0:
+        vals = jax.tree_util.tree_map(lambda a: a.T, vals)
+        pat = pat.T
+    if not mon.type.is_udt:
+        vals = cast(vals, mon.type)
+    red = mon.reduce(vals, axis=1, where=pat)
+    tpat = jnp.any(pat, axis=1)
+    T = Vector(red, tpat, mon.type).canonical()
+    return accum_mask(w, m, T, accum, d)
+
+
+def reduce_to_scalar(accum: Optional[BinaryOp], op: Union[Monoid, BinaryOp],
+                     A, c: Any = None):
+    """c = accum(c, reduce-all(A)); returns a host scalar.
+
+    Empty A reduces to the monoid identity (``GB_reduce_to_scalar.c:35``).
+    """
+    mon = _as_monoid(op)
+    A = A.wait()
+    vals = A.values if mon.type.is_udt else cast(A.values, mon.type)
+    t = mon.reduce(vals, axis=None, where=A.pattern)
+    t = jax.device_get(t)
+    if accum is not None and c is not None:
+        t = jax.device_get(accum(jnp.asarray(c), jnp.asarray(t)))
+    if hasattr(t, "item"):
+        t = t[()] if getattr(t, "ndim", 0) == 0 else t
+    return t
+
+
+def reduce(*args, **kw):
+    """Polymorphic GrB_reduce: dispatches on output like the _Generic macro."""
+    if isinstance(args[0], Vector):
+        return reduce_to_vector(*args, **kw)
+    return reduce_to_scalar(*args, **kw)

@@ -1,0 +1,24 @@
+"""Test config: run on CPU with 8 virtual devices so sharding tests work
+without TPU hardware (mirrors the driver's dryrun_multichip environment)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even under the axon tunnel
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# the axon sitecustomize registers the TPU backend at interpreter start,
+# so the env var alone is too late — override via config before first use.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
