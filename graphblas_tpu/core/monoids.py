@@ -52,10 +52,16 @@ class Monoid:
         Uses exact jnp reductions for the standard monoids and a generic
         log-depth pairwise reduction otherwise.
         """
-        if where is not None:
-            x = jnp.where(where, x, jnp.asarray(self.identity, x.dtype))
         nm = self.op.name
         t = self.type
+        if where is not None:
+            if t.is_udt:
+                import jax
+                x = jax.tree_util.tree_map(
+                    lambda a, ident: jnp.where(where, a, jnp.asarray(
+                        ident, a.dtype)), x, dict(self.identity))
+            else:
+                x = jnp.where(where, x, jnp.asarray(self.identity, x.dtype))
         if nm == "PLUS" and not t.is_bool:
             return jnp.sum(x, axis=axis, dtype=x.dtype)
         if nm == "TIMES" and not t.is_bool:

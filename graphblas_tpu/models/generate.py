@@ -1,0 +1,106 @@
+"""Matrix generators: Wathen FEM matrices and random graphs.
+
+Reference behavior: ``Demo/Source/wathen.c`` (four equivalent build
+methods for the MATLAB gallery('wathen') matrix; random RHO drawn from the
+portable simple_rand stream) and ``Demo/Source/random_matrix.c``.  The
+triplet assembly here is fully vectorized numpy — the reference's method
+distinctions (build vs setElement vs submatrix-accumulate) collapse into
+one batched build, but the ``method`` argument is kept for API parity and
+golden-output reproducibility.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..core.matrix import Matrix
+from ..core.ops import binary
+from ..core.types import BOOL, FP64
+from ..utils.simple_rand import SimpleRand
+
+__all__ = ["wathen", "random_matrix"]
+
+# the 8x8 element matrix of gallery('wathen')  (wathen.c:69-77), times 1/45
+_E = np.asarray([
+    [6, -6, 2, -8, 3, -8, 2, -6],
+    [-6, 32, -6, 20, -8, 16, -8, 20],
+    [2, -6, 6, -6, 2, -8, 3, -8],
+    [-8, 20, -6, 32, -6, 20, -8, 16],
+    [3, -8, 2, -6, 6, -6, 2, -8],
+    [-8, 16, -8, 20, -6, 32, -6, 20],
+    [2, -8, 3, -8, 2, -6, 6, -6],
+    [-6, 20, -8, 16, -8, 20, -6, 32],
+], dtype=np.float64) / 45.0
+
+
+def wathen(nx: int, ny: int, method: int = 0,
+           rho: Optional[np.ndarray] = None,
+           seed: int = 1) -> Matrix:
+    """n x n Wathen FEM matrix, n = 3*nx*ny + 2*nx + 2*ny + 1.
+
+    ``rho`` is the nx-by-ny density matrix; when None it is drawn as
+    100*simple_rand_x() in the reference's exact stream order (column-major
+    over (i,j)) so demo matrices reproduce bit-for-bit.
+    """
+    if nx < 0 or ny < 0 or not (0 <= method <= 3):
+        raise ValueError("invalid wathen arguments")
+    n = 3 * nx * ny + 2 * nx + 2 * ny + 1
+    if rho is None:
+        rng = SimpleRand(seed)
+        # reference order: for j in 1..ny: for i in 1..nx  (wathen.c:98-110)
+        rho = (100.0 * rng.rand_x_batch(nx * ny)).reshape(ny, nx).T
+    else:
+        rho = np.asarray(rho, dtype=np.float64).reshape(nx, ny)
+
+    # vectorized node numbering for every (i,j) element (wathen.c:163-170)
+    i = np.arange(1, nx + 1)[None, :]           # [1, nx]
+    j = np.arange(1, ny + 1)[:, None]           # [ny, 1]
+    nn = np.empty((ny, nx, 8), dtype=np.int64)
+    nn[..., 0] = 3 * j * nx + 2 * i + 2 * j + 1
+    nn[..., 1] = nn[..., 0] - 1
+    nn[..., 2] = nn[..., 1] - 1
+    nn[..., 3] = (3 * j - 1) * nx + 2 * j + i - 1
+    nn[..., 4] = 3 * (j - 1) * nx + 2 * i + 2 * j - 3
+    nn[..., 5] = nn[..., 4] + 1
+    nn[..., 6] = nn[..., 5] + 1
+    nn[..., 7] = nn[..., 3] + 1
+    nn -= 1
+
+    # all 64 (krow, kcol) pairs per element, scaled by rho(i,j)
+    I = np.broadcast_to(nn[..., :, None], (ny, nx, 8, 8)).reshape(-1)
+    J = np.broadcast_to(nn[..., None, :], (ny, nx, 8, 8)).reshape(-1)
+    X = (rho.T[..., None, None] * _E[None, None]).reshape(-1)
+    return Matrix.from_coo(I, J, X, n, n, type=FP64, dup=binary.plus[FP64])
+
+
+def random_matrix(nrows: int, ncols: int, ntuples: int,
+                  make_symmetric: bool = False, no_self_edges: bool = False,
+                  boolean: bool = False, method: int = 0,
+                  seed: int = 1) -> Matrix:
+    """Random matrix with ~ntuples entries (reference
+    ``random_matrix.c``): indices i = rand_i % nrows, j = rand_i % ncols,
+    x = rand_x, duplicates summed (OR'd when boolean)."""
+    rng = SimpleRand(seed)
+    I = np.empty(ntuples, dtype=np.int64)
+    J = np.empty(ntuples, dtype=np.int64)
+    X = np.empty(ntuples, dtype=np.float64)
+    for k in range(ntuples):
+        I[k] = rng.rand_i() % np.uint64(nrows)
+        J[k] = rng.rand_i() % np.uint64(ncols)
+        X[k] = rng.rand_x()
+    if no_self_edges:
+        keep = I != J
+        I, J, X = I[keep], J[keep], X[keep]
+    if make_symmetric:
+        off = np.ones(len(I), bool)
+        I2 = np.concatenate([I, J])
+        J2 = np.concatenate([J, I])
+        X2 = np.concatenate([X, X])
+        I, J, X = I2, J2, X2
+    if boolean:
+        return Matrix.from_coo(I, J, X != 0, nrows, ncols, type=BOOL,
+                               dup=binary.lor[BOOL])
+    return Matrix.from_coo(I, J, X, nrows, ncols, type=FP64,
+                           dup=binary.plus[FP64])
