@@ -43,8 +43,59 @@ def _tree_zeros(t: Type, shape):
     return gbtypes.zeros_like_typed(shape, t)
 
 
+# sorted-run duplicate assembly: the named built-in dup operators fold
+# whole runs with one numpy reduceat; anything else falls back to a
+# sequential in-order fold (exact left-to-right semantics either way,
+# matching GB_build_factory's "first occurrence seeds, later dups fold").
+_REDUCEAT_OPS = {
+    "PLUS": np.add, "TIMES": np.multiply, "MIN": np.minimum,
+    "MAX": np.maximum, "LOR": np.logical_or, "LAND": np.logical_and,
+    "LXOR": np.logical_xor,
+}
+
+
+def _fold_duplicates(dup: BinaryOp, Xs: np.ndarray, starts: np.ndarray,
+                     t: Type) -> np.ndarray:
+    """Fold each sorted run Xs[starts[k]:starts[k+1]] with the dup op."""
+    if len(starts) == len(Xs):
+        return Xs  # no duplicates
+    name = getattr(dup, "name", None)
+    if name == "FIRST":
+        return Xs[starts]
+    if name == "SECOND":
+        ends = np.append(starts[1:], len(Xs)) - 1
+        return Xs[ends]
+    ufunc = _REDUCEAT_OPS.get(name)
+    if ufunc is not None and not t.is_udt:
+        out = ufunc.reduceat(Xs, starts)
+        return out.astype(t.dtype, copy=False)
+    # generic fallback: jax fold per run boundary, batched by position
+    # within the run (still O(max run length) dispatches, not O(ndups))
+    ends = np.append(starts[1:], len(Xs))
+    out = Xs[starts].copy()
+    maxrun = int((ends - starts).max())
+    for k in range(1, maxrun):
+        sel = starts + k < ends
+        idx = starts[sel] + k
+        res = jax.device_get(dup(jnp.asarray(out[sel]), jnp.asarray(Xs[idx])))
+        out[sel] = np.asarray(res, dtype=out.dtype)
+    return out
+
+
 def _tree_where(mask, a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.where(mask, x, y), a, b)
+
+
+def np_bool(x) -> np.ndarray:
+    """Device bool -> host bool via a uint8 staging cast.
+
+    Bool device-to-host transfers degrade badly on tunneled TPU runtimes
+    (observed ~1000x slower than uint8 for the same payload); one cheap
+    on-device cast sidesteps it.
+    """
+    if isinstance(x, np.ndarray):
+        return x
+    return np.asarray(jnp.asarray(x, jnp.uint8)).astype(np.bool_)
 
 
 class _Base:
@@ -163,13 +214,17 @@ class _Base:
     # -- conversion ------------------------------------------------------------------
     def to_dense(self, fill=None):
         m = self.wait()
-        if fill is None:
-            return np.asarray(m.values)
-        return np.asarray(_tree_where(m.pattern, m.values,
-                                      jnp.full(m.shape, fill)))
+        out = m.values if fill is None else _tree_where(
+            m.pattern, m.values, jnp.full(m.shape, fill))
+
+        def pull(a):
+            if not isinstance(a, np.ndarray) and a.dtype == jnp.bool_:
+                return np_bool(a)
+            return np.asarray(a)
+        return jax.tree_util.tree_map(pull, out)
 
     def pattern_np(self):
-        return np.asarray(self.wait().pattern)
+        return np_bool(self.wait().pattern)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -216,27 +271,20 @@ class Matrix(_Base):
         pat = np.zeros((nrows, ncols), dtype=np.bool_)
         if I.size:
             # stable sort by (i,j); assemble duplicates in input order
+            # (the GB_builder qsort + GB_build_factory dup-fold, vectorized)
             order = np.lexsort((J, I))
             Is, Js, Xs = I[order], J[order], X[order]
             Xs = np.asarray([cast_value(x, t) for x in Xs.tolist()],
                             dtype=t.dtype) if Xs.dtype != t.dtype else Xs
-            # first occurrence seeds; subsequent dups fold with dup op
             lin = Is * ncols + Js
             first = np.ones(len(lin), dtype=bool)
             first[1:] = lin[1:] != lin[:-1]
+            starts = np.nonzero(first)[0]
             vflat = vals.reshape(-1)
             pflat = pat.reshape(-1)
-            # vectorized: place first occurrences
-            vflat[lin[first]] = Xs[first]
-            pflat[lin[first]] = True
-            # fold duplicates sequentially (rare path; exact semantics)
-            dup_idx = np.nonzero(~first)[0]
-            if dup_idx.size:
-                fn = np.vectorize(lambda a, b: np.asarray(
-                    jax.device_get(dup(jnp.asarray(a), jnp.asarray(b)))),
-                    otypes=[t.dtype])
-                for k in dup_idx:
-                    vflat[lin[k]] = fn(vflat[lin[k]], Xs[k])
+            folded = _fold_duplicates(dup, Xs, starts, t)
+            vflat[lin[starts]] = folded
+            pflat[lin[starts]] = True
             vals = vflat.reshape(nrows, ncols)
             pat = pflat.reshape(nrows, ncols)
         return Matrix(jnp.asarray(vals), jnp.asarray(pat), t).canonical()
@@ -272,7 +320,7 @@ class Matrix(_Base):
     def extractTuples(self):
         """Return (I, J, X) numpy arrays in row-major (CSR) order."""
         m = self.wait()
-        pat = np.asarray(m.pattern)
+        pat = np_bool(m.pattern)
         I, J = np.nonzero(pat)
         if self.type.is_udt:
             X = {k: np.asarray(v)[I, J] for k, v in m.values.items()}
@@ -326,7 +374,7 @@ class Vector(_Base):
 
     def extractTuples(self):
         v = self.wait()
-        pat = np.asarray(v.pattern)
+        pat = np_bool(v.pattern)
         (I,) = np.nonzero(pat)
         if self.type.is_udt:
             X = {k: np.asarray(val)[I] for k, val in v.values.items()}

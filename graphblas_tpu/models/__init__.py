@@ -10,7 +10,7 @@ from .mis import mis, mis_check
 from .tricount import tricount, tricount_prep, edge_incidence, METHODS
 from .ktruss import ktruss, allktruss
 from .kron import kron_generate, kron_submatrix, kron_tuples
-from .generate import wathen, random_matrix
+from .generate import wathen, wathen_coo, wathen_pattern, random_matrix
 
 __all__ = [
     "bfs", "bfs5m", "bfs6", "bfs5m_check", "bfs6_check", "bfs_level",
@@ -18,5 +18,5 @@ __all__ = [
     "irowscale", "pagerank_jit", "PAGERANK_TYPE", "mis", "mis_check",
     "tricount", "tricount_prep", "edge_incidence", "METHODS", "ktruss",
     "allktruss", "kron_generate", "kron_submatrix", "kron_tuples",
-    "wathen", "random_matrix",
+    "wathen", "wathen_coo", "wathen_pattern", "random_matrix",
 ]

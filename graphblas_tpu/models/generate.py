@@ -20,7 +20,7 @@ from ..core.ops import binary
 from ..core.types import BOOL, FP64
 from ..utils.simple_rand import SimpleRand
 
-__all__ = ["wathen", "random_matrix"]
+__all__ = ["wathen", "wathen_coo", "wathen_pattern", "random_matrix"]
 
 # the 8x8 element matrix of gallery('wathen')  (wathen.c:69-77), times 1/45
 _E = np.asarray([
@@ -35,17 +35,11 @@ _E = np.asarray([
 ], dtype=np.float64) / 45.0
 
 
-def wathen(nx: int, ny: int, method: int = 0,
-           rho: Optional[np.ndarray] = None,
-           seed: int = 1) -> Matrix:
-    """n x n Wathen FEM matrix, n = 3*nx*ny + 2*nx + 2*ny + 1.
-
-    ``rho`` is the nx-by-ny density matrix; when None it is drawn as
-    100*simple_rand_x() in the reference's exact stream order (column-major
-    over (i,j)) so demo matrices reproduce bit-for-bit.
-    """
-    if nx < 0 or ny < 0 or not (0 <= method <= 3):
-        raise ValueError("invalid wathen arguments")
+def wathen_coo(nx: int, ny: int, rho: Optional[np.ndarray] = None,
+               seed: int = 1):
+    """Host-side Wathen triplets: (I, J, X, n).  Pure numpy — used by
+    benchmarks and distributed loaders that assemble shards directly
+    without materializing a device-resident dense matrix."""
     n = 3 * nx * ny + 2 * nx + 2 * ny + 1
     if rho is None:
         rng = SimpleRand(seed)
@@ -72,7 +66,30 @@ def wathen(nx: int, ny: int, method: int = 0,
     I = np.broadcast_to(nn[..., :, None], (ny, nx, 8, 8)).reshape(-1)
     J = np.broadcast_to(nn[..., None, :], (ny, nx, 8, 8)).reshape(-1)
     X = (rho.T[..., None, None] * _E[None, None]).reshape(-1)
+    return I, J, X, n
+
+
+def wathen(nx: int, ny: int, method: int = 0,
+           rho: Optional[np.ndarray] = None,
+           seed: int = 1) -> Matrix:
+    """n x n Wathen FEM matrix, n = 3*nx*ny + 2*nx + 2*ny + 1.
+
+    ``rho`` is the nx-by-ny density matrix; when None it is drawn as
+    100*simple_rand_x() in the reference's exact stream order (column-major
+    over (i,j)) so demo matrices reproduce bit-for-bit.
+    """
+    if nx < 0 or ny < 0 or not (0 <= method <= 3):
+        raise ValueError("invalid wathen arguments")
+    I, J, X, n = wathen_coo(nx, ny, rho=rho, seed=seed)
     return Matrix.from_coo(I, J, X, n, n, type=FP64, dup=binary.plus[FP64])
+
+
+def wathen_pattern(nx: int, ny: int, seed: int = 1) -> np.ndarray:
+    """Host-only boolean adjacency of the Wathen matrix (no device)."""
+    I, J, X, n = wathen_coo(nx, ny, seed=seed)
+    pat = np.zeros((n, n), dtype=bool)
+    pat[I, J] = True
+    return pat
 
 
 def random_matrix(nrows: int, ncols: int, ntuples: int,

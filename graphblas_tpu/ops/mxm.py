@@ -99,12 +99,28 @@ def _dot(a, b, out_dtype):
 # MXU-mappable semiring table (the GB_semiring_builtin analogue)
 # ---------------------------------------------------------------------------
 
+_X64_DOT_OK = None
+
+
+def _x64_dot_ok() -> bool:
+    """Whether the backend lowers s64/u64 dot_general (CPU yes; the TPU
+    compiler's X64 rewriting rejects it).  64-bit integer semirings then
+    take the VPU generic path — elementwise s64 works everywhere."""
+    global _X64_DOT_OK
+    if _X64_DOT_OK is None:
+        _X64_DOT_OK = jax.default_backend() == "cpu"
+    return _X64_DOT_OK
+
+
 def _mxu_path(sr: Semiring, Av, Ap, Bv, Bp):
     """Return (values, 'method') if this semiring maps onto one matmul."""
     add, mult = sr.add.op.name, sr.mult.name
     zt = sr.ztype
     xt, yt = sr.xtype, sr.ytype
     if zt.is_udt or xt.is_udt:
+        return None
+    if (zt.is_integer and zt.nbits == 64 and not zt.is_bool
+            and not _x64_dot_ok()):
         return None
 
     if add == "PLUS" and not zt.is_bool:

@@ -1,0 +1,286 @@
+"""Distributed GraphBLAS operations over a device mesh.
+
+Design (SURVEY.md §7): matrices are row-block-sharded over the mesh's
+"i" axis (the analogue of the reference's planned-but-unbuilt B-slice
+parallel AxB, ``GB_AxB_parallel.c:52-74``, now with real collectives):
+
+* **dist_vxm** — w = u ⊕.⊗ A: each device multiplies its row block by
+  the matching u shard, then one ``psum`` over "i" combines partials.
+  This is the frontier-exchange SpMV at the heart of BFS/PageRank.
+* **dist_mxm** — C<M> = A ⊕.⊗ B with A,C,M row-sharded and B gathered
+  per-device (``all_gather`` over ICI); the masked-SpGEMM tricount path.
+* **dist_mxm_summa** — 2-D block-sharded SUMMA over an ("i","j") mesh:
+  A blocks all-gathered along "j", B blocks along "i", one local matmul
+  per device.  Scales to meshes where B no longer fits replicated.
+
+All are ``shard_map``-wrapped jitted functions operating on the raw
+(values, pattern) arrays; the DistMatrix wrapper carries shardings and
+converts to/from the single-chip bitmap Matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core.matrix import Matrix, Vector
+from ..core.semirings import Semiring
+from ..ops.mxm import semiring_mm, _mxu_path, _pattern_mm
+from .mesh import make_mesh, pad_to_multiple
+
+__all__ = ["DistMatrix", "DistVector", "dist_vxm", "dist_mxm",
+           "dist_mxm_summa", "distribute", "collect"]
+
+
+class DistMatrix:
+    """Row-block-sharded bitmap matrix: values/pattern sharded P('i', None)
+    (or P('i','j') blocks on a 2-D mesh), padded to uniform shards."""
+
+    def __init__(self, values, pattern, type, mesh: Mesh, nrows: int,
+                 ncols: int, spec: P = P("i", None)):
+        self.values = values
+        self.pattern = pattern
+        self.type = type
+        self.mesh = mesh
+        self.nrows = nrows          # logical (unpadded) shape
+        self.ncols = ncols
+        self.spec = spec
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    def to_matrix(self) -> Matrix:
+        vals = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a)[:self.nrows, :self.ncols], self.values)
+        return Matrix(vals, jnp.asarray(self.pattern)[:self.nrows,
+                                                      :self.ncols],
+                      self.type)
+
+
+class DistVector:
+    def __init__(self, values, pattern, type, mesh: Mesh, size: int,
+                 spec: P = P(None)):
+        self.values = values
+        self.pattern = pattern
+        self.type = type
+        self.mesh = mesh
+        self.size = size
+        self.spec = spec
+
+    def to_vector(self) -> Vector:
+        vals = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a)[:self.size], self.values)
+        return Vector(vals, jnp.asarray(self.pattern)[:self.size],
+                      self.type)
+
+
+def distribute(A, mesh: Optional[Mesh] = None,
+               spec: Optional[P] = None, square: bool = False):
+    """Shard a Matrix/Vector onto the mesh (row blocks by default),
+    zero-padding so every device gets an equal block.  ``square=True``
+    pads both dims to the same size (for square-iteration algorithms
+    where the output vector feeds back as the next frontier)."""
+    mesh = mesh or make_mesh()
+    if isinstance(A, Vector):
+        A = A.wait()
+        d = int(np.prod(mesh.devices.shape))
+        n = pad_to_multiple(A.shape[0], d)
+        pad = n - A.shape[0]
+        vals = jax.tree_util.tree_map(
+            lambda a: jnp.pad(a, (0, pad)), A.values)
+        pat = jnp.pad(A.pattern, (0, pad))
+        spec = spec or P(None)
+        sh = NamedSharding(mesh, spec)
+        vals = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sh), vals)
+        return DistVector(vals, jax.device_put(pat, sh), A.type, mesh,
+                          A.shape[0], spec)
+    A = A.wait()
+    axes = mesh.devices.shape
+    di = axes[0]
+    dj = axes[1] if len(axes) > 1 else 1
+    if square:
+        t = pad_to_multiple(max(A.nrows, A.ncols), int(np.lcm(di, dj)))
+        m = n = t
+    else:
+        m = pad_to_multiple(A.nrows, di)
+        n = pad_to_multiple(A.ncols, dj)
+    padm, padn = m - A.nrows, n - A.ncols
+    vals = jax.tree_util.tree_map(
+        lambda a: jnp.pad(a, ((0, padm), (0, padn))), A.values)
+    pat = jnp.pad(A.pattern, ((0, padm), (0, padn)))
+    spec = spec or (P("i", "j") if len(axes) > 1 else P("i", None))
+    sh = NamedSharding(mesh, spec)
+    vals = jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), vals)
+    return DistMatrix(vals, jax.device_put(pat, sh), A.type, mesh,
+                      A.nrows, A.ncols, spec)
+
+
+def collect(D):
+    """Gather a distributed object back to a single-chip Matrix/Vector."""
+    return D.to_matrix() if isinstance(D, DistMatrix) else D.to_vector()
+
+
+# ---------------------------------------------------------------------------
+# distributed SpMV:  w = u *.sr A   (u row-sharded to match A's row blocks)
+# ---------------------------------------------------------------------------
+
+def _vxm_shard_fn(sr: Semiring):
+    def fn(uv, up, Av, Ap):
+        # local partial: u_shard' * A_block  -> [1, ncols]
+        tv, tp, _ = semiring_mm(sr, jax.tree_util.tree_map(
+            lambda a: a[None, :], uv), up[None, :], Av, Ap)
+        # combine partials across row shards.  For MXU semirings the
+        # pattern-OR + monoid-sum both reduce with psum-style collectives.
+        tp = jax.lax.psum(tp.astype(jnp.int32), "i") > 0
+        tv = _monoid_psum(sr, tv)
+        tv = jax.tree_util.tree_map(
+            lambda a: jnp.where(tp, a, jnp.zeros_like(a)), tv)
+        return (jax.tree_util.tree_map(lambda a: a[0], tv), tp[0])
+    return fn
+
+
+def _monoid_psum(sr: Semiring, tv):
+    """Cross-shard combine of partial reductions with sr's add monoid.
+
+    PLUS/LOR/LAND/MIN/MAX/LXOR all map onto XLA collectives directly;
+    the generic fallback all-gathers partials and folds them (log-depth
+    would need ppermute rounds; shard counts are small).
+    """
+    nm = sr.add.op.name
+    tmap = jax.tree_util.tree_map
+    if nm == "PLUS":
+        return tmap(lambda a: jax.lax.psum(a, "i"), tv)
+    if nm in ("LOR", "MAX"):
+        return tmap(lambda a: jax.lax.pmax(a, "i"), tv)
+    if nm in ("LAND", "MIN"):
+        return tmap(lambda a: jax.lax.pmin(a, "i"), tv)
+    if nm == "LXOR":
+        return tmap(lambda a: jax.lax.psum(a.astype(jnp.int32), "i") % 2 != 0
+                    if a.dtype == jnp.bool_ else
+                    (jax.lax.psum((a != 0).astype(jnp.int32), "i") % 2
+                     ).astype(a.dtype), tv)
+    # generic: gather all shards' partials and fold with the monoid
+    gathered = tmap(lambda a: jax.lax.all_gather(a, "i"), tv)
+    from ..core.monoids import _pairwise_reduce
+    return _pairwise_reduce(sr.add.op, gathered, 0, sr.add.identity)
+
+
+_VXM_CACHE = {}
+
+
+def _vxm_jitted(sr: Semiring, mesh: Mesh):
+    key = (sr.name, id(sr.add.op.fn), id(sr.mult.fn), id(mesh))
+    f = _VXM_CACHE.get(key)
+    if f is None:
+        f = jax.jit(shard_map(
+            _vxm_shard_fn(sr), mesh=mesh,
+            in_specs=(P("i"), P("i"), P("i", None), P("i", None)),
+            out_specs=(P(None), P(None))))
+        _VXM_CACHE[key] = f
+    return f
+
+
+def dist_vxm(sr: Semiring, u: DistVector, A: DistMatrix) -> DistVector:
+    """w = u *.sr A, one psum-class collective over the 'i' axis.
+
+    u must be row-sharded (spec P('i')); the result comes back replicated
+    so the next iteration's frontier can be resliced with zero comm.
+    """
+    tv, tp = _vxm_jitted(sr, A.mesh)(u.values, u.pattern, A.values,
+                                     A.pattern)
+    return DistVector(tv, tp, sr.ztype, A.mesh, A.ncols, P(None))
+
+
+# ---------------------------------------------------------------------------
+# distributed masked mxm:  C<M> = A *.sr B   (A row-sharded, B gathered)
+# ---------------------------------------------------------------------------
+
+def _mxm_shard_fn(sr: Semiring):
+    def fn(Av, Ap, Bv, Bp, emask):
+        # B arrives replicated (all_gather happened at the sharding
+        # boundary); compute this device's row block of C, mask fused.
+        tv, tp, _ = semiring_mm(sr, Av, Ap, Bv, Bp)
+        tp = tp & emask
+        tv = jax.tree_util.tree_map(
+            lambda a: jnp.where(tp, a, jnp.zeros_like(a)), tv)
+        return tv, tp
+    return fn
+
+
+def dist_mxm(sr: Semiring, A: DistMatrix, B: DistMatrix,
+             M: Optional[DistMatrix] = None, complement: bool = False,
+             structural: bool = True) -> DistMatrix:
+    """C<M> = A *.sr B with row-sharded A/M/C; B is all-gathered once.
+
+    The effective mask (pattern, or pattern & value per GB_spec_mask)
+    fuses into the per-device block product rather than the reference's
+    separate GB_mask post-pass."""
+    mesh = A.mesh
+    if M is not None:
+        emask = M.pattern if (structural or M.type.is_udt) else \
+            (M.pattern & (M.values != 0))
+        if complement:
+            emask = ~emask
+    else:
+        emask = jnp.ones_like(A.pattern) if not complement else \
+            jnp.zeros_like(A.pattern)
+    f = shard_map(
+        _mxm_shard_fn(sr), mesh=mesh,
+        in_specs=(P("i", None), P("i", None), P(None, None), P(None, None),
+                  P("i", None)),
+        out_specs=(P("i", None), P("i", None)))
+    # B replicated: device_put with replicated sharding (all_gather at
+    # the jit boundary, riding ICI)
+    rep = NamedSharding(mesh, P(None, None))
+    Bv = jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), B.values)
+    Bp = jax.device_put(B.pattern, rep)
+    tv, tp = jax.jit(f)(A.values, A.pattern, Bv, Bp, emask)
+    return DistMatrix(tv, tp, sr.ztype, mesh, A.nrows, B.ncols, A.spec)
+
+
+# ---------------------------------------------------------------------------
+# 2-D SUMMA mxm over an ("i","j") mesh
+# ---------------------------------------------------------------------------
+
+def _summa_shard_fn(sr: Semiring):
+    def fn(Av, Ap, Bv, Bp):
+        # gather A blocks along "j" (row panel), B blocks along "i"
+        # (column panel), multiply locally: one step of SUMMA where the
+        # k-dimension equals the full (gathered) panel.
+        Avg = jax.tree_util.tree_map(
+            lambda a: _cat(jax.lax.all_gather(a, "j"), 1), Av)
+        Apg = _cat(jax.lax.all_gather(Ap, "j"), 1)
+        Bvg = jax.tree_util.tree_map(
+            lambda a: _cat(jax.lax.all_gather(a, "i"), 0), Bv)
+        Bpg = _cat(jax.lax.all_gather(Bp, "i"), 0)
+        tv, tp, _ = semiring_mm(sr, Avg, Apg, Bvg, Bpg)
+        return tv, tp
+    return fn
+
+
+def _cat(stacked, axis):
+    # all_gather returns [d, blk, ...]; concatenate into the panel
+    parts = [stacked[k] for k in range(stacked.shape[0])]
+    return jnp.concatenate(parts, axis=axis)
+
+
+def dist_mxm_summa(sr: Semiring, A: DistMatrix, B: DistMatrix
+                   ) -> DistMatrix:
+    """C = A *.sr B on a 2-D ("i","j") mesh: C[i,j] block computed from
+    A's row panel i and B's column panel j (one all_gather per axis)."""
+    mesh = A.mesh
+    f = shard_map(_summa_shard_fn(sr), mesh=mesh,
+                  in_specs=(P("i", "j"), P("i", "j"), P("i", "j"),
+                            P("i", "j")),
+                  out_specs=(P("i", "j"), P("i", "j")))
+    tv, tp = jax.jit(f)(A.values, A.pattern, B.values, B.pattern)
+    return DistMatrix(tv, tp, sr.ztype, mesh, A.nrows, B.ncols,
+                      P("i", "j"))

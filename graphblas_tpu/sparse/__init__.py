@@ -1,0 +1,14 @@
+"""Large-graph sparse backend: padded-CSR containers, bit-packed
+patterns, edge-parallel SpMV and masked SpGEMM kernels."""
+
+from .container import CsrMatrix, csr_from_coo
+from .bitpack import pack_pattern, popcount, words_for
+from .spmv import csr_mxv, csr_vxm, segment_reduce
+from .spgemm import (edge_intersection_counts, masked_spgemm_counts,
+                     tricount_sparse, ktruss_sparse)
+
+__all__ = [
+    "CsrMatrix", "csr_from_coo", "pack_pattern", "popcount", "words_for",
+    "csr_mxv", "csr_vxm", "segment_reduce", "edge_intersection_counts",
+    "masked_spgemm_counts", "tricount_sparse", "ktruss_sparse",
+]

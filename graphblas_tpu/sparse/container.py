@@ -1,0 +1,165 @@
+"""Padded-CSR/COO sparse containers for large graphs.
+
+The reference's four storage formats (CSR/CSC/hyper x2,
+``Source/Template/GB_matrix.h:41-132``) collapse into one TPU-friendly
+container: CSR arrays **plus** the COO row-ids dual (``rowids``), padded
+to a static capacity ``nzmax`` so every kernel sees fixed shapes (XLA's
+static-shape requirement; SURVEY.md §7 "hard parts" #1).  Padding
+convention: ``indices[k >= nvals] == ncols`` (an out-of-range sentinel)
+and ``rowids[k >= nvals] == nrows`` — gathers read a dedicated identity
+slot appended to the operand, so padded lanes contribute the monoid
+identity with zero branching.
+
+Hypersparsity needs no special format here: empty rows cost 4 bytes of
+indptr, and the bitpacked pattern (:mod:`graphblas_tpu.sparse.bitpack`)
+covers the dense-ish case the reference's bitmap would.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.matrix import Matrix
+from ..core.types import Type, BOOL, FP64, type_of_dtype
+
+__all__ = ["CsrMatrix", "csr_from_coo"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+class CsrMatrix:
+    """Immutable padded-CSR pytree: indptr[m+1], indices[nzmax],
+    rowids[nzmax] (the COO dual), values[nzmax]."""
+
+    __slots__ = ("indptr", "indices", "rowids", "values", "nvals",
+                 "nrows", "ncols", "type")
+
+    def __init__(self, indptr, indices, rowids, values, nvals: int,
+                 nrows: int, ncols: int, type: Type):
+        self.indptr = indptr
+        self.indices = indices
+        self.rowids = rowids
+        self.values = values
+        self.nvals = int(nvals)
+        self.nrows = int(nrows)
+        self.ncols = int(ncols)
+        self.type = type
+
+    def tree_flatten(self):
+        return ((self.indptr, self.indices, self.rowids, self.values),
+                (self.nvals, self.nrows, self.ncols, self.type))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def shape(self):
+        return (self.nrows, self.ncols)
+
+    @property
+    def nzmax(self) -> int:
+        return int(self.indices.shape[0])
+
+    # -- constructors --------------------------------------------------------
+    @staticmethod
+    def from_coo(I, J, X, nrows: int, ncols: int,
+                 type: Optional[Type] = None, nzmax: Optional[int] = None,
+                 sum_duplicates: bool = True) -> "CsrMatrix":
+        return csr_from_coo(I, J, X, nrows, ncols, type=type, nzmax=nzmax,
+                            sum_duplicates=sum_duplicates)
+
+    @staticmethod
+    def from_matrix(A: Matrix, nzmax: Optional[int] = None) -> "CsrMatrix":
+        """Bitmap Matrix -> padded CSR (host-side O(nnz) conversion)."""
+        I, J, X = A.extractTuples()
+        if A.type.is_udt:
+            raise TypeError("CSR container does not hold UDT values; "
+                            "use the bitmap backend for struct types")
+        return csr_from_coo(I, J, X, A.nrows, A.ncols, type=A.type,
+                            nzmax=nzmax, sum_duplicates=False)
+
+    # -- conversions ---------------------------------------------------------
+    def to_matrix(self) -> Matrix:
+        vals = np.zeros((self.nrows, self.ncols), dtype=self.type.dtype)
+        pat = np.zeros((self.nrows, self.ncols), dtype=np.bool_)
+        I = np.asarray(self.rowids)[:self.nvals]
+        J = np.asarray(self.indices)[:self.nvals]
+        X = np.asarray(self.values)[:self.nvals]
+        vals[I, J] = X
+        pat[I, J] = True
+        return Matrix(jnp.asarray(vals), jnp.asarray(pat), self.type)
+
+    def extractTuples(self):
+        return (np.asarray(self.rowids)[:self.nvals].astype(np.int64),
+                np.asarray(self.indices)[:self.nvals].astype(np.int64),
+                np.asarray(self.values)[:self.nvals])
+
+    def T(self) -> "CsrMatrix":
+        """Transpose = re-sorted COO (host-side; the reference's bucket
+        transpose ``GB_transpose_bucket.c`` is a counting sort too)."""
+        I, J, X = self.extractTuples()
+        return csr_from_coo(J, I, X, self.ncols, self.nrows,
+                            type=self.type, nzmax=self.nzmax,
+                            sum_duplicates=False)
+
+    def row_degrees(self) -> jnp.ndarray:
+        return self.indptr[1:] - self.indptr[:-1]
+
+    def __repr__(self):  # pragma: no cover
+        return (f"CsrMatrix<{self.type.name}> {self.nrows}x{self.ncols}, "
+                f"{self.nvals}/{self.nzmax} entries")
+
+
+def csr_from_coo(I, J, X, nrows: int, ncols: int,
+                 type: Optional[Type] = None, nzmax: Optional[int] = None,
+                 sum_duplicates: bool = True) -> CsrMatrix:
+    """Host-side CSR build: lexsort (i,j), optional dup-sum, pad to
+    capacity.  (The native C++ radix builder is used when available.)"""
+    I = np.asarray(I, np.int64)
+    J = np.asarray(J, np.int64)
+    X = np.asarray(X)
+    t = type or type_of_dtype(X.dtype)
+    if I.size:
+        if sum_duplicates:
+            from ..io.native import sort_dedup_native
+            nat = None
+            if X.dtype == np.float64:
+                nat = sort_dedup_native(I, J, X, "PLUS")
+            if nat is not None:
+                I, J, X = nat
+            else:
+                order = np.lexsort((J, I))
+                I, J, X = I[order], J[order], X[order]
+                lin = I * ncols + J
+                first = np.ones(len(lin), bool)
+                first[1:] = lin[1:] != lin[:-1]
+                starts = np.nonzero(first)[0]
+                X = np.add.reduceat(X, starts) if len(starts) < len(X) else X
+                I, J = I[starts], J[starts]
+        else:
+            order = np.lexsort((J, I))
+            I, J, X = I[order], J[order], X[order]
+    nvals = len(I)
+    cap = nzmax or _round_up(max(nvals, 8), 128)
+    if cap < nvals:
+        raise ValueError(f"nzmax {cap} < nvals {nvals}")
+    indptr = np.zeros(nrows + 1, np.int32)
+    np.add.at(indptr, I + 1, 1)
+    indptr = np.cumsum(indptr).astype(np.int32)
+    indices = np.full(cap, ncols, np.int32)
+    rowids = np.full(cap, nrows, np.int32)
+    values = np.zeros(cap, t.dtype)
+    indices[:nvals] = J
+    rowids[:nvals] = I
+    values[:nvals] = X.astype(t.dtype, copy=False)
+    return CsrMatrix(jnp.asarray(indptr), jnp.asarray(indices),
+                     jnp.asarray(rowids), jnp.asarray(values),
+                     nvals, nrows, ncols, t)

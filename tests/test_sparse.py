@@ -1,0 +1,137 @@
+"""Sparse backend tests: CSR containers, bitpack, SpMV, masked SpGEMM."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu import sparse as sp
+from graphblas_tpu.core.semirings import semiring
+
+
+def _rand_csr(m, n, density, seed, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    mask = rng.random((m, n)) < density
+    vals = rng.normal(size=(m, n)) * mask
+    I, J = np.nonzero(mask)
+    return sp.CsrMatrix.from_coo(I, J, vals[I, J], m, n), vals, mask
+
+
+def test_csr_roundtrip():
+    A, dense, mask = _rand_csr(13, 17, 0.3, 0)
+    M = A.to_matrix()
+    assert np.allclose(M.to_dense(), dense)
+    assert np.array_equal(M.pattern_np(), mask)
+    # transpose
+    T = A.T()
+    assert np.allclose(T.to_matrix().to_dense(), dense.T)
+
+
+def test_csr_from_matrix():
+    A, dense, mask = _rand_csr(9, 9, 0.4, 1)
+    M = A.to_matrix()
+    B = sp.CsrMatrix.from_matrix(M)
+    assert np.allclose(B.to_matrix().to_dense(), dense)
+    assert B.nvals == A.nvals
+
+
+def test_csr_dup_sum():
+    I = [0, 0, 1, 0]
+    J = [1, 1, 2, 1]
+    X = [1.0, 2.0, 5.0, 4.0]
+    A = sp.CsrMatrix.from_coo(I, J, X, 3, 3)
+    assert A.nvals == 2
+    assert A.to_matrix().extractElement(0, 1) == 7.0
+
+
+def test_bitpack_popcount():
+    rng = np.random.default_rng(2)
+    pat = rng.random((7, 100)) < 0.4
+    packed = sp.pack_pattern(pat)
+    got = np.asarray(sp.popcount(packed)).sum(axis=1)
+    assert np.array_equal(got, pat.sum(axis=1))
+
+
+@pytest.mark.parametrize("srname,ty", [
+    ("plus_times", "FP64"), ("min_plus", "FP64"), ("max_times", "FP64"),
+    ("plus_times", "INT32"),
+])
+def test_csr_mxv_semirings(srname, ty):
+    t = getattr(gb, ty)
+    A, dense, mask = _rand_csr(20, 16, 0.3, 3)
+    if ty == "INT32":
+        dense = (dense * 10).astype(np.int32) * mask
+        I, J = np.nonzero(mask)
+        A = sp.CsrMatrix.from_coo(I, J, dense[I, J], 20, 16, type=t)
+    sr = semiring[srname][t]
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=16) if ty == "FP64" else \
+        rng.integers(-5, 5, 16).astype(np.int32)
+    y, ypat = sp.csr_mxv(sr, A, jnp.asarray(x))
+    # oracle on the bitmap backend
+    M = A.to_matrix()
+    u = gb.Vector.from_dense(x, t)
+    want = gb.mxv(gb.Vector.new(sr.ztype, 20), None, None, sr, M, u)
+    assert np.array_equal(np.asarray(ypat), want.pattern_np())
+    got = np.where(np.asarray(ypat), np.asarray(y), 0)
+    assert np.allclose(got, want.to_dense())
+
+
+def test_csr_vxm_bool():
+    A, dense, mask = _rand_csr(12, 12, 0.3, 5)
+    sym = mask | mask.T
+    I, J = np.nonzero(sym)
+    Ab = sp.CsrMatrix.from_coo(I, J, np.ones(len(I), bool), 12, 12,
+                               type=gb.BOOL)
+    q = np.zeros(12, bool)
+    q[2] = True
+    sr = semiring.lor_land[gb.BOOL]
+    y, ypat = sp.csr_vxm(sr, jnp.asarray(q), Ab.T(), x_pattern=q)
+    want = sym[2]  # neighbors of node 2
+    got = np.asarray(y) & np.asarray(ypat)
+    assert np.array_equal(got, want)
+
+
+def test_edge_intersection_counts():
+    rng = np.random.default_rng(6)
+    pat = rng.random((30, 30)) < 0.3
+    pat = (pat | pat.T) & ~np.eye(30, dtype=bool)
+    ei, ej = np.nonzero(np.tril(pat, -1))
+    counts = np.asarray(sp.masked_spgemm_counts(
+        (ei, ej), np.tril(pat, -1), np.triu(pat, 1)))
+    L = np.tril(pat, -1)
+    U = np.triu(pat, 1)
+    want = np.array([(L[i] & U[j]).sum() for i, j in zip(ei, ej)])
+    assert np.array_equal(counts, want)
+
+
+def test_tricount_sparse_matches_dense():
+    rng = np.random.default_rng(7)
+    pat = rng.random((60, 60)) < 0.15
+    pat = (pat | pat.T) & ~np.eye(60, dtype=bool)
+    A = gb.Matrix.from_dense(pat.astype(np.float64), gb.FP64, pattern=pat)
+    want = int(((pat.astype(np.int64) @ pat) * pat).sum()) // 6
+    assert sp.tricount_sparse(A) == want
+
+
+def test_ktruss_sparse_matches_bitmap():
+    from graphblas_tpu import models
+    # 5-clique + path
+    I, J = [], []
+    for i in range(5):
+        for j in range(i + 1, 5):
+            I += [i, j]
+            J += [j, i]
+    for i in range(5, 8):
+        I += [i, i + 1]
+        J += [i + 1, i]
+    A = gb.Matrix.from_coo(np.array(I), np.array(J),
+                           np.ones(len(I), bool), 9, 9, type=gb.BOOL,
+                           dup=gb.binary.lor[gb.BOOL])
+    (ei, ej, supp), _ = sp.ktruss_sparse(A, 4)
+    C, _ = models.ktruss(A, 4)
+    want = C.pattern_np()
+    got = np.zeros_like(want)
+    keep = supp >= 2
+    got[ei[keep], ej[keep]] = True
+    assert np.array_equal(got, want)
