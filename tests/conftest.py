@@ -22,3 +22,18 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+# build the native library if the toolchain is available (cheap, ~1s);
+# native tests skip gracefully when it isn't.
+import pathlib
+import subprocess
+
+_native_dir = pathlib.Path(__file__).resolve().parent.parent / "native"
+if (_native_dir / "Makefile").exists() and \
+        not (_native_dir / "libgbtpu_native.so").exists():
+    try:
+        subprocess.run(["make", "-C", str(_native_dir)], check=False,
+                       capture_output=True, timeout=120)
+    except Exception:
+        pass
