@@ -40,6 +40,14 @@ from .core.errors import (Info, GraphBLASError, DimensionMismatch,
 from .core.matrix import Matrix, Vector
 from .utils.indices import ALL
 
+from .core.options import (Options, global_options, init, set_option,
+                           get_option, BLOCKING, NONBLOCKING, BY_ROW,
+                           BY_COL)
+from .core.io_export import (import_csr, import_csc, import_hyper_csr,
+                             export_csr, export_csc, import_vector,
+                             export_vector)
+from .core.printing import fprint, check, SILENT, SUMMARY, SHORT, COMPLETE
+
 from .ops.mxm import mxm, mxv, vxm, semiring_mm
 from .ops.ewise import eWiseAdd, eWiseMult, apply, select
 from .ops.reduce import reduce, reduce_to_vector, reduce_to_scalar
@@ -72,4 +80,10 @@ __all__ = [
     "kron", "extract", "extract_vector", "extract_col", "assign",
     "subassign", "assign_scalar", "subassign_scalar", "assign_vector",
     "subassign_vector", "row_assign", "col_assign",
+    # options / io / printing
+    "Options", "global_options", "init", "set_option", "get_option",
+    "BLOCKING", "NONBLOCKING", "BY_ROW", "BY_COL", "import_csr",
+    "import_csc", "import_hyper_csr", "export_csr", "export_csc",
+    "import_vector", "export_vector", "fprint", "check", "SILENT",
+    "SUMMARY", "SHORT", "COMPLETE",
 ]

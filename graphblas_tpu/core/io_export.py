@@ -1,0 +1,115 @@
+"""Import / export: zero-copy handoff of raw sparse arrays.
+
+Reference: ``GxB_Matrix_import_CSR/CSC/HyperCSR/HyperCSC`` and the
+matching exports — O(1) move semantics transplanting user arrays
+(``GxB_Matrix_import_CSR.c:50-80``).  Here the containers already *are*
+plain arrays, so import/export is a constructor/deconstructor pair: CSR
+arrays map onto :class:`graphblas_tpu.sparse.CsrMatrix` without copying
+(device placement happens lazily), and the bitmap Matrix converts in
+O(nnz).  Hypersparse import degenerates to CSR with an empty-row-free
+indptr — hypersparsity is free in this design (SURVEY §2.2 note).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .matrix import Matrix, Vector, np_bool
+from .types import Type, FP64
+
+__all__ = ["import_csr", "import_csc", "import_hyper_csr", "export_csr",
+           "export_csc", "import_vector", "export_vector"]
+
+
+def import_csr(nrows: int, ncols: int, indptr, indices, values,
+               type: Optional[Type] = None, jumbled: bool = False):
+    """CSR arrays -> CsrMatrix, zero-copy (``GxB_Matrix_import_CSR``)."""
+    from ..sparse.container import CsrMatrix, csr_from_coo
+    indptr = np.asarray(indptr, np.int64)
+    indices = np.asarray(indices)
+    values = np.asarray(values)
+    t = type or FP64
+    nvals = int(indptr[-1])
+    rowids = np.repeat(np.arange(nrows, dtype=np.int64),
+                       np.diff(indptr))
+    if jumbled:
+        return csr_from_coo(rowids, indices[:nvals], values[:nvals],
+                            nrows, ncols, type=t, sum_duplicates=False)
+    cap = max(((nvals + 127) // 128) * 128, 128)
+    ind = np.full(cap, ncols, np.int32)
+    rid = np.full(cap, nrows, np.int32)
+    val = np.zeros(cap, t.dtype)
+    ind[:nvals] = indices[:nvals]
+    rid[:nvals] = rowids
+    val[:nvals] = values[:nvals]
+    return CsrMatrix(jnp.asarray(indptr.astype(np.int32)),
+                     jnp.asarray(ind), jnp.asarray(rid), jnp.asarray(val),
+                     nvals, nrows, ncols, t)
+
+
+def import_csc(nrows: int, ncols: int, indptr, indices, values,
+               type: Optional[Type] = None):
+    """CSC arrays -> CsrMatrix (transposed assembly;
+    ``GxB_Matrix_import_CSC``)."""
+    AT = import_csr(ncols, nrows, indptr, indices, values, type)
+    return AT.T()
+
+
+def import_hyper_csr(nrows: int, ncols: int, nvec: int, h, p, indices,
+                     values, type: Optional[Type] = None):
+    """Hypersparse CSR (h = present rows, p = their pointer list) ->
+    CsrMatrix.  (``GxB_Matrix_import_HyperCSR``; empty rows cost nothing
+    here, so hyper collapses to CSR.)"""
+    h = np.asarray(h, np.int64)[:nvec]
+    p = np.asarray(p, np.int64)[:nvec + 1]
+    indptr = np.zeros(nrows + 1, np.int64)
+    counts = np.diff(p)
+    indptr[h + 1] = counts
+    indptr = np.cumsum(indptr)
+    return import_csr(nrows, ncols, indptr, indices, values, type)
+
+
+def export_csr(A) -> Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]:
+    """Matrix/CsrMatrix -> (nrows, ncols, indptr, indices, values);
+    O(1) for CsrMatrix (array views), O(nnz) from the bitmap
+    (``GxB_Matrix_export_CSR``)."""
+    from ..sparse.container import CsrMatrix
+    if isinstance(A, CsrMatrix):
+        return (A.nrows, A.ncols, np.asarray(A.indptr, np.int64),
+                np.asarray(A.indices[:A.nvals], np.int64),
+                np.asarray(A.values[:A.nvals]))
+    I, J, X = A.extractTuples()
+    indptr = np.zeros(A.nrows + 1, np.int64)
+    np.add.at(indptr, I + 1, 1)
+    indptr = np.cumsum(indptr)
+    return A.nrows, A.ncols, indptr, J, X
+
+
+def export_csc(A):
+    """(nrows, ncols, col indptr, row indices, values) in CSC order."""
+    from ..sparse.container import CsrMatrix
+    if isinstance(A, CsrMatrix):
+        A = A.to_matrix()
+    I, J, X = A.extractTuples()
+    order = np.lexsort((I, J))
+    I, J, X = I[order], J[order], X[order]
+    indptr = np.zeros(A.ncols + 1, np.int64)
+    np.add.at(indptr, J + 1, 1)
+    indptr = np.cumsum(indptr)
+    return A.nrows, A.ncols, indptr, I, X
+
+
+def import_vector(n: int, indices, values, type: Optional[Type] = None
+                  ) -> Vector:
+    """Sparse vector import (``GxB_Vector_import``)."""
+    t = type or FP64
+    return Vector.from_coo(np.asarray(indices, np.int64),
+                           np.asarray(values), n, type=t)
+
+
+def export_vector(v: Vector):
+    I, X = v.extractTuples()
+    return v.size, I, X

@@ -161,17 +161,22 @@ class _Base:
         if not self._pending:
             return self
         vals, pat = self.values, self.pattern
+        tmap = jax.tree_util.tree_map
         # group pending tuples into one scatter per accum op, preserving order
         for (idx, scalar, accum) in self._pending:
-            s = jnp.asarray(cast_value(scalar, self.type)) if not self.type.is_udt \
-                else {k: jnp.asarray(v) for k, v in scalar.items()}
+            s = tmap(jnp.asarray, cast_value(scalar, self.type))
             present = pat[idx]
             if accum is None or isinstance(accum, str):
                 newv = s
             else:
-                newv = jnp.where(present, accum(vals[idx], s), s)
+                if self.type.is_udt:
+                    newv = tmap(lambda a, b: jnp.where(present, a, b),
+                                accum(tmap(lambda v: v[idx], vals), s), s)
+                else:
+                    newv = jnp.where(present, accum(vals[idx], s), s)
             if self.type.is_udt:
-                vals = {k: vals[k].at[idx].set(newv[k]) for k in vals}
+                vals = tmap(lambda v, nv: v.at[idx].set(
+                    jnp.asarray(nv, v.dtype)), vals, newv)
             else:
                 vals = vals.at[idx].set(jnp.asarray(newv, vals.dtype))
             pat = pat.at[idx].set(True)
@@ -194,7 +199,8 @@ class _Base:
         if not present:
             return None  # GrB_NO_VALUE
         if self.type.is_udt:
-            return {k: np.asarray(v[idx])[()] for k, v in m.values.items()}
+            return jax.tree_util.tree_map(
+                lambda v: np.asarray(v[idx])[()], m.values)
         return np.asarray(m.values[idx])[()]
 
     def removeElement(self, *index):

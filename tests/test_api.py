@@ -1,0 +1,186 @@
+"""API-surface tests: options, import/export, printing/checking,
+user-defined objects, aliases, and misc GrB parity behaviors."""
+
+import io
+
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu import user_objects as uo
+
+
+# ---------------------------------------------------------------------------
+# options
+# ---------------------------------------------------------------------------
+
+def test_options_roundtrip():
+    gb.init(gb.BLOCKING)
+    assert gb.get_option("mode") == gb.BLOCKING
+    gb.set_option("format", gb.BY_COL)
+    assert gb.get_option("format") == gb.BY_COL
+    with pytest.raises(KeyError):
+        gb.set_option("nope", 1)
+    gb.init()  # reset
+    assert gb.get_option("mode") == gb.NONBLOCKING
+
+
+# ---------------------------------------------------------------------------
+# import / export
+# ---------------------------------------------------------------------------
+
+def _rand(m, n, seed, density=0.4):
+    rng = np.random.default_rng(seed)
+    mask = rng.random((m, n)) < density
+    dense = rng.normal(size=(m, n)) * mask
+    return gb.Matrix.from_dense(dense, gb.FP64, pattern=mask), dense, mask
+
+
+def test_export_import_csr_roundtrip():
+    A, dense, mask = _rand(8, 11, 0)
+    nr, nc, p, j, x = gb.export_csr(A)
+    assert nr == 8 and nc == 11 and p[-1] == mask.sum()
+    B = gb.import_csr(nr, nc, p, j, x, gb.FP64)
+    assert np.allclose(B.to_matrix().to_dense(), dense)
+
+
+def test_export_import_csc_roundtrip():
+    A, dense, mask = _rand(9, 5, 1)
+    nr, nc, p, i, x = gb.export_csc(A)
+    B = gb.import_csc(nr, nc, p, i, x, gb.FP64)
+    assert np.allclose(B.to_matrix().to_dense(), dense)
+
+
+def test_import_hyper_csr():
+    # rows 2 and 5 present only
+    h = [2, 5]
+    p = [0, 2, 3]
+    idx = [1, 3, 0]
+    val = [1.0, 2.0, 3.0]
+    A = gb.import_hyper_csr(7, 4, 2, h, p, idx, val, gb.FP64)
+    M = A.to_matrix()
+    assert M.extractElement(2, 1) == 1.0
+    assert M.extractElement(2, 3) == 2.0
+    assert M.extractElement(5, 0) == 3.0
+    assert M.nvals() == 3
+
+
+def test_vector_import_export():
+    v = gb.import_vector(10, [1, 5, 7], [1.0, 2.0, 3.0])
+    n, I, X = gb.export_vector(v)
+    assert n == 10
+    assert I.tolist() == [1, 5, 7]
+    assert np.allclose(X, [1.0, 2.0, 3.0])
+
+
+# ---------------------------------------------------------------------------
+# fprint / check
+# ---------------------------------------------------------------------------
+
+def test_fprint_all_objects():
+    buf = io.StringIO()
+    A, _, _ = _rand(4, 4, 2)
+    gb.fprint(A, "A", gb.COMPLETE, buf)
+    v = gb.Vector.from_dense(np.arange(3.0))
+    gb.fprint(v, "v", gb.SHORT, buf)
+    gb.fprint(gb.FP64, "fp64", gb.SHORT, buf)
+    gb.fprint(gb.unary.ainv[gb.FP64], "ainv", gb.SHORT, buf)
+    gb.fprint(gb.binary.plus[gb.FP64], "plus", gb.SHORT, buf)
+    gb.fprint(gb.monoid.plus[gb.FP64], "plusmon", gb.SHORT, buf)
+    gb.fprint(gb.semiring.plus_times[gb.FP64], "sr", gb.SHORT, buf)
+    gb.fprint(gb.REPLACE, "desc", gb.SHORT, buf)
+    out = buf.getvalue()
+    assert "nrows: 4 ncols: 4" in out
+    assert "GraphBLAS Semiring" in out
+    assert "number of entries" in out
+
+
+def test_check_catches_corruption():
+    import jax.numpy as jnp
+    A, dense, mask = _rand(3, 3, 3)
+    assert gb.check(A)
+    # corrupt: nonzero value at absent position
+    bad = gb.Matrix(jnp.ones((3, 3)), jnp.zeros((3, 3), bool), gb.FP64)
+    with pytest.raises(ValueError):
+        gb.check(bad)
+
+
+# ---------------------------------------------------------------------------
+# user objects (the m4 example set)
+# ---------------------------------------------------------------------------
+
+def test_my_complex_semiring():
+    rng = np.random.default_rng(4)
+    Ad = rng.normal(size=(3, 4)) + 1j * rng.normal(size=(3, 4))
+    Bd = rng.normal(size=(4, 2)) + 1j * rng.normal(size=(4, 2))
+    A = gb.Matrix.from_dense(Ad, gb.FC64)
+    B = gb.Matrix.from_dense(Bd, gb.FC64)
+    C = gb.mxm(gb.Matrix.new(gb.FC64, 3, 2), None, None,
+               uo.my_complex_plus_times, A, B)
+    assert np.allclose(C.to_dense(), Ad @ Bd)
+
+
+def test_my_plus_rdiv_and_scale():
+    A = gb.Matrix.from_dense(np.array([[2.0, 4.0]]))
+    B = gb.Matrix.from_dense(np.array([[8.0, 4.0]]))
+    C = gb.eWiseMult(gb.Matrix.new(gb.FP64, 1, 2), None, None,
+                     uo.my_plus_rdiv, A, B)
+    assert np.allclose(C.to_dense(), [[4.0, 1.0]])
+    D = gb.apply(gb.Matrix.new(gb.FP64, 1, 2), None, None, uo.my_scale, A)
+    assert np.allclose(D.to_dense(), [[4.0, 8.0]])
+
+
+def test_my_band_select():
+    A = gb.Matrix.from_dense(np.arange(16.0).reshape(4, 4))
+    C = gb.select(gb.Matrix.new(gb.FP64, 4, 4), None, None, uo.my_band,
+                  A, (0, 1))
+    pat = C.pattern_np()
+    i, j = np.nonzero(pat)
+    assert ((j - i >= 0) & (j - i <= 1)).all()
+    assert pat.sum() == 7
+
+
+def test_my_max_terminal_monoid():
+    assert uo.my_max_terminal.terminal == 1e308
+    v = gb.Vector.from_dense(np.array([1.0, 99.0, 3.0]))
+    assert gb.reduce_to_scalar(None, uo.my_max_terminal, v) == 99.0
+
+
+# ---------------------------------------------------------------------------
+# aliases (reference GB_mex_mxm_alias tests): C<C> = C*C etc.
+# ---------------------------------------------------------------------------
+
+def test_mxm_alias():
+    A, dense, mask = _rand(6, 6, 5)
+    sr = gb.semiring.plus_times[gb.FP64]
+    C = gb.mxm(A, A, None, sr, A, A)
+    want = (dense @ dense) * mask
+    got = C.to_dense()
+    assert np.allclose(got[mask], want[mask])
+
+
+def test_assign_alias():
+    A, dense, mask = _rand(5, 5, 6)
+    out = gb.assign(A, A, None, A)  # C<C> = C
+    assert np.allclose(out.to_dense(), dense)
+
+
+def test_ewise_alias():
+    A, dense, mask = _rand(4, 4, 7)
+    C = gb.eWiseAdd(A, None, None, gb.binary.plus[gb.FP64], A, A)
+    assert np.allclose(C.to_dense(), 2 * dense)
+
+
+# ---------------------------------------------------------------------------
+# struct-of-struct (wildtype) UDT
+# ---------------------------------------------------------------------------
+
+def test_nested_udt():
+    from graphblas_tpu.core.types import Type
+    inner = Type.udt("inner", a=gb.FP64, b=gb.FP32)
+    outer = Type.udt("outer", x=inner, y=gb.INT32)
+    M = gb.Matrix.new(outer, 2, 2)
+    M = M.setElement({"x": {"a": 1.5, "b": 2.5}, "y": 7}, 0, 1)
+    got = M.extractElement(0, 1)
+    assert got["x"]["a"] == 1.5 and got["y"] == 7
+    assert M.nvals() == 1
