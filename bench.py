@@ -40,47 +40,50 @@ def main():
     Lpn = np.tril(Apn, -1)
     Upn = np.triu(Apn, 1)
 
-    # build the BSR decomposition (host; analogous to tri_prep, untimed
-    # in the reference's kernel-only number too)
+    # build the BSR decomposition + triple schedule (host; analogous to
+    # tri_prep, untimed in the reference's kernel-only number too)
+    from graphblas_tpu.sparse import pallas_bsr as pb
     Lt = bsr.tile_pattern(Lpn)
     Ut = bsr.tile_pattern(Upn)
-
-    # one fused jitted call: tile-triple int8 matmuls + mask + reduce
     ga, gm = Lt.grid, Lt.grid
     gb_ = Ut.grid
     trip = gm[:, :, None] & ga[:, None, :] & gb_[None, :, :]
     I, J, K = np.nonzero(trip)
     outs = np.nonzero(gm)
+    nout = len(outs[0])
     out_index = np.zeros(gm.shape, np.int32)
-    out_index[outs] = np.arange(len(outs[0]), dtype=np.int32)
+    out_index[outs] = np.arange(nout, dtype=np.int32)
+    oid = out_index[I, J]
+    order = np.argsort(oid, kind="stable")
+    oid, I, J, K = oid[order], I[order], J[order], K[order]
+    counts = np.bincount(oid, minlength=nout)
+    starts = jnp.asarray(np.concatenate([[0], np.cumsum(counts)])
+                         .astype(np.int32))
+    kmax = int(counts.max())
     ta = jnp.asarray(Lt.index[I, K], jnp.int32)
     tb = jnp.asarray(Ut.index[J, K], jnp.int32)
-    oid = jnp.asarray(out_index[I, J], jnp.int32)
-    mtl = jnp.asarray(Lt.index[outs[0], outs[1]], jnp.int32)
-    nout = len(outs[0])
+    Mtiles = jnp.take(Lt.tiles, jnp.asarray(
+        Lt.index[outs[0], outs[1]], jnp.int32), axis=0)
 
     @jax.jit
-    def tri_kernel(Ltiles, Utiles):
-        La = jnp.take(Ltiles, ta, axis=0)
-        Ub = jnp.take(Utiles, tb, axis=0)
-        prod = jax.lax.dot_general(
-            La, Ub, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32)
-        C = jax.ops.segment_sum(prod, oid, num_segments=nout)
-        M = jnp.take(Ltiles, mtl, axis=0)
-        return jnp.sum(jnp.where(M != 0, C, 0))
+    def tri_kernel(Ltiles, Utiles, Mtiles):
+        # Pallas BSR masked SpGEMM: int8 MXU tile products accumulated
+        # in VMEM, mask fused (graphblas_tpu/sparse/pallas_bsr.py)
+        C = pb._launch(starts, ta, tb, Ltiles, Utiles, Mtiles, kmax,
+                       False)
+        return jnp.sum(C)
 
     # correctness gate vs dense f64-BLAS oracle (exact below 2^53)
-    ntri = int(np.asarray(tri_kernel(Lt.tiles, Ut.tiles)))
+    ntri = int(np.asarray(tri_kernel(Lt.tiles, Ut.tiles, Mtiles)))
     Af = Apn.astype(np.float64)
     want = int(round(((Af @ Af) * Af).sum())) // 6
     assert ntri == want, f"tricount mismatch: {ntri} != {want}"
 
     # timed: K async dispatches, one block (amortizes tunnel RTT)
-    K = 50
-    tri_kernel(Lt.tiles, Ut.tiles).block_until_ready()
+    K = 100
+    tri_kernel(Lt.tiles, Ut.tiles, Mtiles).block_until_ready()
     t0 = time.perf_counter()
-    results = [tri_kernel(Lt.tiles, Ut.tiles) for _ in range(K)]
+    results = [tri_kernel(Lt.tiles, Ut.tiles, Mtiles) for _ in range(K)]
     results[-1].block_until_ready()
     elapsed = (time.perf_counter() - t0) / K
 

@@ -1,0 +1,137 @@
+"""Pallas BSR masked-SpGEMM kernel.
+
+The jnp version in :mod:`bsr` materializes every (I,J,K) tile product in
+HBM before the segment-sum.  This kernel keeps the accumulator tile in
+VMEM across the K-loop — the VMEM-resident accumulator is this design's
+answer to the reference's Sauna gather/scatter workspace
+(``GB_AxB_Gustavson.c``; SURVEY §7 "Sauna -> Pallas VMEM scratch") — and
+fuses the output mask in-register, so HBM traffic is one read per
+consumed input tile + one write per output tile.
+
+Grid: (output tile, K-slot).  Tile indices are scalar-prefetched so the
+pipeline can DMA the right A/B tiles ahead of compute
+(``pltpu.PrefetchScalarGridSpec``).  Accumulation dtype is int32 from
+int8 0/1 tiles — the MXU's native int8 path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bsr import TILE, TilePattern, tile_pattern
+
+__all__ = ["bsr_masked_count_pallas", "tricount_bsr_pallas"]
+
+
+def _kernel(starts_ref, ta_ref, tb_ref, a_ref, b_ref, m_ref, out_ref):
+    o = pl.program_id(0)
+    k = pl.program_id(1)
+    kmax = pl.num_programs(1)
+    count = starts_ref[o + 1] - starts_ref[o]
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(k < count)
+    def _():
+        # C(I,J) += A(I,K) @ B(J,K)^T  — one int8 MXU contraction
+        prod = jax.lax.dot_general(
+            a_ref[0], b_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out_ref[0] += prod
+
+    @pl.when(k == kmax - 1)
+    def _():
+        # fuse the structural mask: zero outside M's tile pattern
+        out_ref[0] = out_ref[0] * m_ref[0].astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(6, 7))
+def _launch(starts, ta, tb, Atiles, Btiles, Mtiles, kmax: int,
+            interpret: bool):
+    nout = Mtiles.shape[0]
+    T = Atiles.shape[1]
+
+    def amap(o, k, starts, ta, tb):
+        z = jnp.zeros((), jnp.int32)
+        slot = jnp.minimum(starts[o] + k, jnp.int32(ta.shape[0] - 1))
+        return (ta[slot], z, z)
+
+    def bmap(o, k, starts, ta, tb):
+        z = jnp.zeros((), jnp.int32)
+        slot = jnp.minimum(starts[o] + k, jnp.int32(tb.shape[0] - 1))
+        return (tb[slot], z, z)
+
+    def omap(o, k, s, a, b):
+        z = jnp.zeros((), jnp.int32)
+        return (o, z, z)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nout, kmax),
+        in_specs=[
+            pl.BlockSpec((1, T, T), amap),
+            pl.BlockSpec((1, T, T), bmap),
+            pl.BlockSpec((1, T, T), omap),
+        ],
+        out_specs=pl.BlockSpec((1, T, T), omap),
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nout, T, T), jnp.int32),
+        interpret=interpret,
+    )(starts, ta, tb, Atiles, Btiles, Mtiles)
+
+
+def bsr_masked_count_pallas(Mp: TilePattern, Ap: TilePattern,
+                            Bp: TilePattern,
+                            interpret: bool = None
+                            ) -> Tuple[jnp.ndarray, np.ndarray]:
+    """Pallas version of :func:`bsr.bsr_masked_count`: per-output-tile
+    masked counts of (A · B') over M's nonempty tiles."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    ga, gb, gm = Ap.grid, Bp.grid, Mp.grid
+    trip = gm[:, :, None] & ga[:, None, :] & gb[None, :, :]
+    I, J, K = np.nonzero(trip)
+    outs = np.nonzero(gm)
+    nout = len(outs[0])
+    T = Ap.T
+    if len(I) == 0 or nout == 0:
+        return jnp.zeros((nout, T, T), jnp.int32), np.stack(outs, 1)
+    out_index = np.zeros(gm.shape, np.int32)
+    out_index[outs] = np.arange(nout, dtype=np.int32)
+    oid = out_index[I, J]
+    # sort triples by output tile; starts[] gives each tile's K-run
+    order = np.argsort(oid, kind="stable")
+    oid, I, J, K = oid[order], I[order], J[order], K[order]
+    counts = np.bincount(oid, minlength=nout)
+    starts = np.zeros(nout + 1, np.int32)
+    starts[1:] = np.cumsum(counts)
+    kmax = int(counts.max())
+    ta = jnp.asarray(Ap.index[I, K], jnp.int32)
+    tb = jnp.asarray(Bp.index[J, K], jnp.int32)
+    Mtiles = jnp.take(
+        Mp.tiles, jnp.asarray(Mp.index[outs[0], outs[1]], jnp.int32),
+        axis=0)
+    C = _launch(jnp.asarray(starts), ta, tb, Ap.tiles, Bp.tiles, Mtiles,
+                kmax, interpret)
+    return C, np.stack(outs, 1)
+
+
+def tricount_bsr_pallas(Lp: np.ndarray, Up: np.ndarray,
+                        T: int = TILE, interpret: bool = None) -> int:
+    """SandiaDot triangle count via the Pallas BSR kernel."""
+    Lt = tile_pattern(Lp, T)
+    Ut = tile_pattern(Up, T)
+    C, _ = bsr_masked_count_pallas(Lt, Lt, Ut, interpret=interpret)
+    return int(np.asarray(jnp.sum(C)))

@@ -135,3 +135,37 @@ def test_ktruss_sparse_matches_bitmap():
     keep = supp >= 2
     got[ei[keep], ej[keep]] = True
     assert np.array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# BSR tile path (jnp + Pallas interpret mode)
+# ---------------------------------------------------------------------------
+
+def test_bsr_tricount_matches_dense():
+    rng = np.random.default_rng(9)
+    pat = rng.random((300, 300)) < 0.04
+    pat = (pat | pat.T) & ~np.eye(300, dtype=bool)
+    L = np.tril(pat, -1)
+    U = np.triu(pat, 1)
+    want = int(((pat.astype(np.float64) @ pat) * pat).sum()) // 6
+    assert sp.tricount_bsr(L, U) == want
+    assert sp.tricount_bsr_pallas(L, U) == want
+
+
+def test_bsr_rectangular_tiles():
+    rng = np.random.default_rng(10)
+    pat = rng.random((200, 300)) < 0.05
+    tp = sp.tile_pattern(pat)
+    # reassemble from tiles and compare
+    got = np.zeros((tp.grid.shape[0] * 128, tp.grid.shape[1] * 128),
+                   bool)
+    tiles = np.asarray(tp.tiles)
+    for (I, J) in zip(*np.nonzero(tp.grid)):
+        got[I*128:(I+1)*128, J*128:(J+1)*128] = \
+            tiles[tp.index[I, J]] != 0
+    assert np.array_equal(got[:200, :300], pat)
+
+
+def test_bsr_pallas_empty_mask():
+    Z = np.zeros((50, 50), bool)
+    assert sp.tricount_bsr_pallas(Z, Z) == 0
