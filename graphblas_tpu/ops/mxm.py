@@ -226,22 +226,27 @@ def _udt_reduce(sr, z, axis):
     return _pairwise_reduce(sr.add.op, z, axis, sr.add.identity)
 
 
-def semiring_mm(sr: Semiring, Av, Ap, Bv, Bp):
+def semiring_mm(sr: Semiring, Av, Ap, Bv, Bp, method_hint=None):
     """T = A *.semiring* B on (values, pattern) pairs.
 
     Returns (Tvals, Tpat, method_used).  The `method_used` string is the
     analogue of the reference's per-matrix ``AxB_method_used`` introspection
-    (``GB_matrix.h:351``).
+    (``GB_matrix.h:351``); ``method_hint`` maps the descriptor's
+    GxB_AxB_METHOD: 'dot' prefers the MXU matmul, 'gustavson'/'heap'
+    force the VPU scan (their saxpy analogue on this backend).
     """
     if Ap.shape[1] != Bp.shape[0]:
         raise DimensionMismatch(
             f"inner dims {Ap.shape} x {Bp.shape}")
     tpat = _pattern_mm(Ap, Bp)
-    fast = _mxu_path(sr, Av, Ap, Bv, Bp)
+    fast = None if method_hint in ("gustavson", "heap") \
+        else _mxu_path(sr, Av, Ap, Bv, Bp)
     if fast is not None:
         vals, method = fast
     else:
         vals, method = _generic_path(sr, Av, Ap, Bv, Bp)
+    from .flopcount import record_axb_method
+    record_axb_method(method)
     zt = sr.ztype
     if zt.is_udt:
         vals = _tmap(lambda v: jnp.where(tpat, v, jnp.zeros_like(v)), vals)
@@ -268,7 +273,8 @@ def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
         Av, Ap = _tmap(lambda a: a.T, Av), Ap.T
     if d.tran1:
         Bv, Bp = _tmap(lambda b: b.T, Bv), Bp.T
-    tvals, tpat, _ = semiring_mm(semiring, Av, Ap, Bv, Bp)
+    tvals, tpat, _ = semiring_mm(semiring, Av, Ap, Bv, Bp,
+                                 method_hint=d.axb_method)
     T = Matrix(tvals, tpat, semiring.ztype)
     return accum_mask(C, M, T, accum, d)
 
@@ -285,7 +291,8 @@ def mxv(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
         Av, Ap = _tmap(lambda a: a.T, Av), Ap.T
     uv = _tmap(lambda a: a[:, None], u.values)
     up = u.pattern[:, None]
-    tvals, tpat, _ = semiring_mm(semiring, Av, Ap, uv, up)
+    tvals, tpat, _ = semiring_mm(semiring, Av, Ap, uv, up,
+                                 method_hint=d.axb_method)
     T = Vector(_tmap(lambda a: a[:, 0], tvals), tpat[:, 0], semiring.ztype)
     return accum_mask(w, m, T, accum, d)
 
@@ -302,6 +309,7 @@ def vxm(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
         Av, Ap = _tmap(lambda a: a.T, Av), Ap.T
     uv = _tmap(lambda a: a[None, :], u.values)
     up = u.pattern[None, :]
-    tvals, tpat, _ = semiring_mm(semiring, uv, up, Av, Ap)
+    tvals, tpat, _ = semiring_mm(semiring, uv, up, Av, Ap,
+                                 method_hint=d.axb_method)
     T = Vector(_tmap(lambda a: a[0, :], tvals), tpat[0, :], semiring.ztype)
     return accum_mask(w, m, T, accum, d)
