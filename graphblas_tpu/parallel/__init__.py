@@ -6,10 +6,14 @@ from .dist import (DistMatrix, DistVector, distribute, collect, dist_vxm,
                    dist_mxm, dist_mxm_summa)
 from .algorithms import (dist_bfs, dist_pagerank, dist_tricount,
                          bfs_step_sharded, pagerank_step_sharded)
+from .dist_csr import (DistCsr, dist_csr_from_matrix, dist_csr_mxv,
+                       dist_csr_pagerank, dist_csr_bfs)
 
 __all__ = [
     "make_mesh", "row_sharding", "replicated", "P", "Mesh",
     "DistMatrix", "DistVector", "distribute", "collect", "dist_vxm",
     "dist_mxm", "dist_mxm_summa", "dist_bfs", "dist_pagerank",
     "dist_tricount", "bfs_step_sharded", "pagerank_step_sharded",
+    "DistCsr", "dist_csr_from_matrix", "dist_csr_mxv",
+    "dist_csr_pagerank", "dist_csr_bfs",
 ]

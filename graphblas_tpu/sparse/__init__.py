@@ -6,13 +6,16 @@ from .bitpack import pack_pattern, popcount, words_for
 from .spmv import csr_mxv, csr_vxm, segment_reduce
 from .spgemm import (edge_intersection_counts, masked_spgemm_counts,
                      tricount_sparse, ktruss_sparse)
-from .bsr import tile_pattern, bsr_masked_count, tricount_bsr, TilePattern
-from .pallas_bsr import bsr_masked_count_pallas, tricount_bsr_pallas
+from .bsr import (tile_pattern, tile_matrix, bsr_masked_count,
+                  tricount_bsr, TilePattern)
+from .pallas_bsr import (bsr_masked_mm_pallas, bsr_masked_count_pallas,
+                         tricount_bsr_pallas, masked_mxm)
 
 __all__ = [
     "CsrMatrix", "csr_from_coo", "pack_pattern", "popcount", "words_for",
     "csr_mxv", "csr_vxm", "segment_reduce", "edge_intersection_counts",
     "masked_spgemm_counts", "tricount_sparse", "ktruss_sparse",
-    "tile_pattern", "bsr_masked_count", "tricount_bsr", "TilePattern",
-    "bsr_masked_count_pallas", "tricount_bsr_pallas",
+    "tile_pattern", "tile_matrix", "bsr_masked_count", "tricount_bsr", "TilePattern",
+    "bsr_masked_mm_pallas", "bsr_masked_count_pallas",
+    "tricount_bsr_pallas", "masked_mxm",
 ]

@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["tile_pattern", "bsr_masked_count", "tricount_bsr",
-           "TilePattern"]
+__all__ = ["tile_pattern", "tile_matrix", "bsr_masked_count",
+           "tricount_bsr", "TilePattern"]
 
 TILE = 128
 
@@ -63,6 +63,29 @@ def tile_pattern(pattern: np.ndarray, T: int = TILE) -> TilePattern:
     grid = blocks.any(axis=(2, 3))
     ids = np.nonzero(grid)
     tiles = blocks[ids[0], ids[1]].astype(np.int8)
+    index = np.zeros((Tm, Tn), np.int32)
+    index[ids] = np.arange(len(ids[0]), dtype=np.int32)
+    return TilePattern(jnp.asarray(tiles), grid, index, (m, n), T)
+
+
+def tile_matrix(values: np.ndarray, pattern: np.ndarray, T: int = TILE,
+                dtype=np.float32) -> TilePattern:
+    """Cut an [m, n] value matrix (zeros at absent positions) into its
+    pattern-nonempty TxT value tiles — the BSR value form for general
+    semirings on the MXU."""
+    pattern = np.asarray(pattern)
+    values = np.asarray(values)
+    m, n = pattern.shape
+    Tm, Tn = -(-m // T), -(-n // T)
+    ppad = np.zeros((Tm * T, Tn * T), dtype=bool)
+    ppad[:m, :n] = pattern
+    vpad = np.zeros((Tm * T, Tn * T), dtype=dtype)
+    vpad[:m, :n] = np.where(pattern, values, 0).astype(dtype)
+    pblocks = ppad.reshape(Tm, T, Tn, T).transpose(0, 2, 1, 3)
+    vblocks = vpad.reshape(Tm, T, Tn, T).transpose(0, 2, 1, 3)
+    grid = pblocks.any(axis=(2, 3))
+    ids = np.nonzero(grid)
+    tiles = vblocks[ids[0], ids[1]]
     index = np.zeros((Tm, Tn), np.int32)
     index[ids] = np.arange(len(ids[0]), dtype=np.int32)
     return TilePattern(jnp.asarray(tiles), grid, index, (m, n), T)

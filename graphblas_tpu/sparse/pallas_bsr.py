@@ -25,9 +25,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .bsr import TILE, TilePattern, tile_pattern
+from .bsr import TILE, TilePattern, tile_matrix, tile_pattern
 
-__all__ = ["bsr_masked_count_pallas", "tricount_bsr_pallas"]
+__all__ = ["bsr_masked_mm_pallas", "bsr_masked_count_pallas",
+           "tricount_bsr_pallas", "masked_mxm"]
 
 
 def _kernel(starts_ref, ta_ref, tb_ref, a_ref, b_ref, m_ref, out_ref):
@@ -42,21 +43,28 @@ def _kernel(starts_ref, ta_ref, tb_ref, a_ref, b_ref, m_ref, out_ref):
 
     @pl.when(k < count)
     def _():
-        # C(I,J) += A(I,K) @ B(J,K)^T  — one int8 MXU contraction
+        # C(I,J) += A(I,K) @ B(J,K)^T — one MXU contraction; the
+        # accumulator dtype follows the output block (int32 from int8
+        # counting tiles, f32 from value tiles).  HIGHEST keeps f32
+        # operands on true-f32 MXU passes instead of one bf16 pass —
+        # GraphBLAS results must match the reference within f32 roundoff.
+        prec = (jax.lax.Precision.HIGHEST
+                if jnp.issubdtype(out_ref.dtype, jnp.floating)
+                else jax.lax.Precision.DEFAULT)
         prod = jax.lax.dot_general(
             a_ref[0], b_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
+            preferred_element_type=out_ref.dtype, precision=prec)
         out_ref[0] += prod
 
     @pl.when(k == kmax - 1)
     def _():
         # fuse the structural mask: zero outside M's tile pattern
-        out_ref[0] = out_ref[0] * m_ref[0].astype(jnp.int32)
+        out_ref[0] = out_ref[0] * (m_ref[0] != 0).astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnums=(6, 7))
+@partial(jax.jit, static_argnums=(6, 7, 8))
 def _launch(starts, ta, tb, Atiles, Btiles, Mtiles, kmax: int,
-            interpret: bool):
+            interpret: bool, acc_dtype=jnp.int32):
     nout = Mtiles.shape[0]
     T = Atiles.shape[1]
 
@@ -87,17 +95,19 @@ def _launch(starts, ta, tb, Atiles, Btiles, Mtiles, kmax: int,
     return pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nout, T, T), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nout, T, T), acc_dtype),
         interpret=interpret,
     )(starts, ta, tb, Atiles, Btiles, Mtiles)
 
 
-def bsr_masked_count_pallas(Mp: TilePattern, Ap: TilePattern,
-                            Bp: TilePattern,
-                            interpret: bool = None
-                            ) -> Tuple[jnp.ndarray, np.ndarray]:
-    """Pallas version of :func:`bsr.bsr_masked_count`: per-output-tile
-    masked counts of (A · B') over M's nonempty tiles."""
+def bsr_masked_mm_pallas(Mp: TilePattern, Ap: TilePattern,
+                         Bp: TilePattern, acc_dtype=jnp.int32,
+                         interpret: bool = None
+                         ) -> Tuple[jnp.ndarray, np.ndarray]:
+    """General Pallas BSR masked product C<M> = A · B' over M's
+    nonempty tiles.  With int8 0/1 tiles this is the counting
+    (PLUS_LAND) semiring; with value tiles and ``acc_dtype=f32`` it is
+    PLUS_TIMES — the general large-graph masked mxm engine."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     ga, gb, gm = Ap.grid, Bp.grid, Mp.grid
@@ -107,7 +117,7 @@ def bsr_masked_count_pallas(Mp: TilePattern, Ap: TilePattern,
     nout = len(outs[0])
     T = Ap.T
     if len(I) == 0 or nout == 0:
-        return jnp.zeros((nout, T, T), jnp.int32), np.stack(outs, 1)
+        return jnp.zeros((nout, T, T), acc_dtype), np.stack(outs, 1)
     out_index = np.zeros(gm.shape, np.int32)
     out_index[outs] = np.arange(nout, dtype=np.int32)
     oid = out_index[I, J]
@@ -124,8 +134,16 @@ def bsr_masked_count_pallas(Mp: TilePattern, Ap: TilePattern,
         Mp.tiles, jnp.asarray(Mp.index[outs[0], outs[1]], jnp.int32),
         axis=0)
     C = _launch(jnp.asarray(starts), ta, tb, Ap.tiles, Bp.tiles, Mtiles,
-                kmax, interpret)
+                kmax, interpret, acc_dtype)
     return C, np.stack(outs, 1)
+
+
+def bsr_masked_count_pallas(Mp: TilePattern, Ap: TilePattern,
+                            Bp: TilePattern,
+                            interpret: bool = None
+                            ) -> Tuple[jnp.ndarray, np.ndarray]:
+    """Counting form of :func:`bsr_masked_mm_pallas` (PLUS_LAND)."""
+    return bsr_masked_mm_pallas(Mp, Ap, Bp, jnp.int32, interpret)
 
 
 def tricount_bsr_pallas(Lp: np.ndarray, Up: np.ndarray,
@@ -135,3 +153,59 @@ def tricount_bsr_pallas(Lp: np.ndarray, Up: np.ndarray,
     Ut = tile_pattern(Up, T)
     C, _ = bsr_masked_count_pallas(Lt, Lt, Ut, interpret=interpret)
     return int(np.asarray(jnp.sum(C)))
+
+
+def masked_mxm(M, A, B, semiring=None, T: int = TILE,
+               interpret: bool = None):
+    """High-level large-graph masked mxm: C<M> = A (+.x) B through the
+    Pallas BSR engine, auto-selected per the flop model.
+
+    M/A/B: bitmap Matrix or CsrMatrix.  PLUS_TIMES (float) uses value
+    tiles; boolean/counting semirings use int8 pattern tiles.  Returns a
+    bitmap Matrix with C's entries on M's pattern (the reference's
+    structural-mask semantics, mask fused in-kernel).
+    """
+    from ..core.matrix import Matrix, np_bool
+    from ..core.types import FP32, INT32
+    from .container import CsrMatrix
+    from ..ops.flopcount import record_axb_method
+
+    def to_np(X):
+        if isinstance(X, CsrMatrix):
+            X = X.to_matrix()
+        X = X.wait()
+        return (np.asarray(jax.device_get(X.values)) if not X.type.is_udt
+                else None), np_bool(X.pattern), X.type
+
+    Av, Apat, At = to_np(A)
+    Bv, Bpat, Bt = to_np(B)
+    Mv, Mpat, _ = to_np(M)
+    counting = (At.is_bool and Bt.is_bool) or semiring is None or \
+        (semiring is not None and semiring.mult.name in ("LAND", "PAIR")
+         and semiring.add.op.name == "PLUS")
+    Mt_tiles = tile_pattern(Mpat, T)
+    if counting and (semiring is None or At.is_bool):
+        Ap = tile_pattern(Apat, T)
+        Bp = tile_pattern(Bpat.T, T)
+        C, outs = bsr_masked_mm_pallas(Mt_tiles, Ap, Bp, jnp.int32,
+                                       interpret)
+        out_t = INT32
+        record_axb_method("pallas:bsr_count")
+    else:
+        Ap = tile_matrix(Av, Apat, T, np.float32)
+        Bp = tile_matrix(Bv.T, Bpat.T, T, np.float32)
+        C, outs = bsr_masked_mm_pallas(Mt_tiles, Ap, Bp, jnp.float32,
+                                       interpret)
+        out_t = FP32
+        record_axb_method("pallas:bsr_values")
+    # reassemble the bitmap result on M's pattern
+    m, n = Mpat.shape
+    Cn = np.zeros((Mt_tiles.grid.shape[0] * T,
+                   Mt_tiles.grid.shape[1] * T), np.asarray(C).dtype)
+    Cnp = np.asarray(C)
+    for t_, (I, J) in enumerate(outs):
+        Cn[I * T:(I + 1) * T, J * T:(J + 1) * T] = Cnp[t_]
+    Cn = Cn[:m, :n]
+    pat = Mpat & (np.ones_like(Mpat))
+    return Matrix(jnp.asarray(np.where(Mpat, Cn, 0)),
+                  jnp.asarray(Mpat), out_t)

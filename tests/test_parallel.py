@@ -130,3 +130,32 @@ def test_step_functions_compile(mesh):
     r = jnp.full((n,), 1.0 / n)
     r2 = pstep(Cv, r, jnp.asarray(0.15 / n))
     assert np.isfinite(np.asarray(r2)).all()
+
+
+# ---------------------------------------------------------------------------
+# sharded-CSR distribution (memory-scalable path)
+# ---------------------------------------------------------------------------
+
+def test_dist_csr_mxv(mesh):
+    A = _random_graph(53, 0.15, 20)  # non-divisible by 8
+    x = np.random.default_rng(0).random(53).astype(np.float32)
+    D = par.dist_csr_from_matrix(A, mesh)
+    y = np.asarray(par.dist_csr_mxv(D, x))
+    want = (A.pattern_np() * A.to_dense()) @ x
+    assert np.allclose(y, want, rtol=1e-5)
+
+
+def test_dist_csr_pagerank(mesh):
+    from graphblas_tpu import models
+    A = _random_graph(40, 0.15, 21)
+    want = models.pagerank_jit(A, iters=15)
+    got = par.dist_csr_pagerank(A, iters=15, mesh=mesh)
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_dist_csr_bfs(mesh):
+    from graphblas_tpu import models
+    A = _random_graph(60, 0.07, 22)
+    want = models.bfs_jit(A, 0)
+    got = par.dist_csr_bfs(A, 0, mesh)
+    assert np.array_equal(got, want)

@@ -169,3 +169,32 @@ def test_bsr_rectangular_tiles():
 def test_bsr_pallas_empty_mask():
     Z = np.zeros((50, 50), bool)
     assert sp.tricount_bsr_pallas(Z, Z) == 0
+
+
+def test_bsr_values_masked_mxm():
+    rng = np.random.default_rng(11)
+    n = 260
+    mask = rng.random((n, n)) < 0.05
+    Ad = (rng.normal(size=(n, n)) * mask).astype(np.float32)
+    Bmask = rng.random((n, n)) < 0.05
+    Bd = (rng.normal(size=(n, n)) * Bmask).astype(np.float32)
+    Mmask = rng.random((n, n)) < 0.1
+    A = gb.Matrix.from_dense(Ad, gb.FP32, pattern=mask)
+    B = gb.Matrix.from_dense(Bd, gb.FP32, pattern=Bmask)
+    M = gb.Matrix.from_dense(Mmask.astype(np.float32), gb.FP32,
+                             pattern=Mmask)
+    C = sp.masked_mxm(M, A, B, semiring=semiring.plus_times[gb.FP32])
+    want = (Ad.astype(np.float64) @ Bd.astype(np.float64)) * Mmask
+    got = C.to_dense()
+    assert np.allclose(got, want.astype(np.float32), atol=1e-4)
+
+
+def test_bsr_count_masked_mxm():
+    rng = np.random.default_rng(12)
+    n = 200
+    pat = rng.random((n, n)) < 0.08
+    pat = (pat | pat.T) & ~np.eye(n, dtype=bool)
+    A = gb.Matrix.from_dense(pat, gb.BOOL, pattern=pat)
+    C = sp.masked_mxm(A, A, A)  # C<A> = A*A counting
+    want = ((pat.astype(np.int64) @ pat) * pat)
+    assert np.array_equal(C.to_dense(), want.astype(np.int32))
