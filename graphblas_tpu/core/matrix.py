@@ -341,6 +341,25 @@ class Matrix(_Base):
             values=jax.tree_util.tree_map(lambda a: a.T, m.values),
             pattern=m.pattern.T)
 
+    def rows(self):
+        """Iterate (i, cols, vals) over nonempty rows — the
+        ``GBI_for_each_vector`` iterator analogue."""
+        m = self.wait()
+        pat = np_bool(m.pattern)
+        vals = m.to_dense()
+        for i in np.nonzero(pat.any(axis=1))[0]:
+            cols = np.nonzero(pat[i])[0]
+            if self.type.is_udt:
+                yield int(i), cols, jax.tree_util.tree_map(
+                    lambda a: a[i][cols], vals)
+            else:
+                yield int(i), cols, vals[i][cols]
+
+    def cols(self):
+        """Iterate (j, rows, vals) over nonempty columns (CSC view)."""
+        for j, rows, vals in self.T().rows():
+            yield j, rows, vals
+
     def __repr__(self):  # pragma: no cover
         return (f"Matrix<{self.type.name}> {self.shape[0]}x{self.shape[1]}, "
                 f"{int(jnp.sum(self.pattern))} entries"

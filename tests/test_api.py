@@ -184,3 +184,45 @@ def test_nested_udt():
     got = M.extractElement(0, 1)
     assert got["x"]["a"] == 1.5 and got["y"] == 7
     assert M.nvals() == 1
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / timer / iterators
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_roundtrip(tmp_path):
+    from graphblas_tpu import io as gbio
+    A, dense, mask = _rand(7, 9, 8)
+    p = tmp_path / "a.npz"
+    gbio.save_matrix(p, A)
+    B = gbio.load_matrix(p)
+    assert np.allclose(B.to_dense(), dense)
+    assert np.array_equal(B.pattern_np(), mask)
+    v = gb.Vector.from_coo([1, 4], [2.0, 3.0], 6)
+    pv = tmp_path / "v.npz"
+    gbio.save_vector(pv, v)
+    w = gbio.load_vector(pv)
+    assert w.extractElement(4) == 3.0
+    assert w.nvals() == 2
+
+
+def test_timer():
+    from graphblas_tpu.utils import timer
+    timer.simple_tic()
+    assert timer.simple_toc() >= 0
+    with timer.device_timer() as t:
+        pass
+    assert "s" in t
+
+
+def test_row_col_iterators():
+    A, dense, mask = _rand(5, 6, 9)
+    seen = {}
+    for i, cols, vals in A.rows():
+        seen[i] = (cols, vals)
+        assert np.array_equal(cols, np.nonzero(mask[i])[0])
+        assert np.allclose(vals, dense[i][cols])
+    assert set(seen) == set(np.nonzero(mask.any(axis=1))[0])
+    for j, rows, vals in A.cols():
+        assert np.array_equal(rows, np.nonzero(mask[:, j])[0])
+        assert np.allclose(vals, dense[:, j][rows])

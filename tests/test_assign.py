@@ -200,3 +200,104 @@ def test_resize_clear(rng):
     small = G.resize(2, 2)
     assert small.nvals() == int(A.p[:2, :2].sum())
     assert G.clear().nvals() == 0
+
+
+# ---------------------------------------------------------------------------
+# randomized sweep over index kinds x types x masks x accum x descriptors
+# (the testall.m-style combinatorial layer for the 48-case surface)
+# ---------------------------------------------------------------------------
+
+def _index_kinds(rng, n):
+    """The reference's index forms: ALL, contiguous range, stride,
+    backwards stride, explicit unsorted list (GB_ijproperties)."""
+    kinds = [
+        np.arange(n),                            # GrB_ALL
+        np.arange(1, max(2, n - 1)),             # GxB_RANGE
+        np.arange(0, n, 2),                      # GxB_STRIDE
+        np.arange(n - 1, -1, -2),                # GxB_BACKWARDS
+        rng.permutation(n)[:max(1, n // 2)],     # explicit list
+    ]
+    return kinds
+
+
+@pytest.mark.parametrize("tname", ["FP64", "INT32", "BOOL", "UINT8"])
+def test_assign_sweep(rng, tname):
+    t = getattr(gb, tname)
+    n, m = 8, 9
+    for trial in range(5):
+        C = rand_om(rng, (n, m), t.dtype, 0.5)
+        Ii = _index_kinds(rng, n)[trial % 5]
+        Jj = _index_kinds(rng, m)[(trial + 2) % 5]
+        A = rand_om(rng, (len(Ii), len(Jj)), t.dtype, 0.6)
+        M = rand_om(rng, (n, m), np.bool_, 0.5) if trial % 2 else None
+        accum = [None, "plus", "times", "min"][trial % 4]
+        if t.dtype == np.bool_ and accum in ("plus", "times", "min"):
+            accum = "lor"
+        replace = trial % 3 == 0
+        scmp = trial % 4 == 1
+        want = o_assign(C, M, accum, A, np.sort(Ii) if False else Ii,
+                        Jj, replace, scmp, dtype=t.dtype)
+        d = gb.Descriptor(replace=replace, mask_scmp=scmp)
+        acc = gb.binary[accum][t] if accum else None
+        got = gb.assign(to_gb(C, t), to_gb(M, gb.BOOL) if M is not None
+                        else None, acc, to_gb(A, t), Ii, Jj, d)
+        assert_same(got, want,
+                    msg=f"assign sweep {tname} trial {trial}")
+
+
+@pytest.mark.parametrize("tname", ["FP64", "INT32", "BOOL"])
+def test_subassign_sweep(rng, tname):
+    t = getattr(gb, tname)
+    n, m = 8, 9
+    for trial in range(5):
+        C = rand_om(rng, (n, m), t.dtype, 0.5)
+        Ii = _index_kinds(rng, n)[(trial + 1) % 5]
+        Jj = _index_kinds(rng, m)[(trial + 3) % 5]
+        A = rand_om(rng, (len(Ii), len(Jj)), t.dtype, 0.6)
+        M = rand_om(rng, (len(Ii), len(Jj)), np.bool_, 0.5) \
+            if trial % 2 else None
+        accum = [None, "plus", "max", "second"][trial % 4]
+        if t.dtype == np.bool_ and accum in ("plus", "max"):
+            accum = "land"
+        replace = trial % 2 == 1
+        scmp = trial % 3 == 2
+        want = o_subassign(C, M, accum, A, Ii, Jj, replace, scmp,
+                           dtype=t.dtype)
+        d = gb.Descriptor(replace=replace, mask_scmp=scmp)
+        acc = gb.binary[accum][t] if accum else None
+        got = gb.subassign(to_gb(C, t), to_gb(M, gb.BOOL)
+                           if M is not None else None, acc, to_gb(A, t),
+                           Ii, Jj, d)
+        assert_same(got, want,
+                    msg=f"subassign sweep {tname} trial {trial}")
+
+
+def test_scalar_assign_sweep(rng):
+    t = gb.FP64
+    n, m = 7, 6
+    for trial in range(4):
+        C = rand_om(rng, (n, m), t.dtype, 0.5)
+        Ii = _index_kinds(rng, n)[trial % 5]
+        Jj = _index_kinds(rng, m)[(trial + 1) % 5]
+        x = float(rng.normal())
+        M = rand_om(rng, (n, m), np.bool_, 0.5)
+        # oracle: scalar expansion = all-present A over unique(I) x unique(J)
+        Iu, Ju = np.unique(Ii), np.unique(Jj)
+        A = orc.OM(np.full((len(Iu), len(Ju)), x),
+                   np.ones((len(Iu), len(Ju)), bool))
+        want = o_assign(C, M, "plus", A, Iu, Ju, False, False)
+        got = gb.assign_scalar(to_gb(C, t), to_gb(M, gb.BOOL),
+                               gb.binary.plus[t], x, Ii, Jj)
+        assert_same(got, want, msg=f"scalar assign trial {trial}")
+
+
+def test_typecast_assign(rng):
+    # cross-type assign: int32 A into fp64 C (typecast per GB_spec)
+    C = rand_om(rng, (5, 5), np.float64, 0.5)
+    A = rand_om(rng, (2, 3), np.int32, 0.8)
+    Ii, Jj = np.array([0, 2]), np.array([1, 3, 4])
+    Af = orc.OM(A.m.astype(np.float64), A.p)
+    want = o_assign(C, None, None, Af, Ii, Jj)
+    got = gb.assign(to_gb(C, gb.FP64), None, None, to_gb(A, gb.INT32),
+                    Ii, Jj)
+    assert_same(got, want, msg="typecast assign")
