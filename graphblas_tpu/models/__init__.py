@@ -11,6 +11,7 @@ from .tricount import tricount, tricount_prep, edge_incidence, METHODS
 from .ktruss import ktruss, allktruss
 from .kron import kron_generate, kron_submatrix, kron_tuples
 from .generate import wathen, wathen_coo, wathen_pattern, random_matrix
+from .rmat import rmat_edges, rmat_graph
 
 __all__ = [
     "bfs", "bfs5m", "bfs6", "bfs5m_check", "bfs6_check", "bfs_level",
@@ -19,4 +20,5 @@ __all__ = [
     "tricount", "tricount_prep", "edge_incidence", "METHODS", "ktruss",
     "allktruss", "kron_generate", "kron_submatrix", "kron_tuples",
     "wathen", "wathen_coo", "wathen_pattern", "random_matrix",
+    "rmat_edges", "rmat_graph",
 ]

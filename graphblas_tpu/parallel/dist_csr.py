@@ -57,14 +57,20 @@ class DistCsr:
         return int(self.rowptr.shape[0])
 
 
-def dist_csr_from_matrix(A: Matrix, mesh: Optional[Mesh] = None,
+def dist_csr_from_matrix(A, mesh: Optional[Mesh] = None,
                          transpose: bool = False) -> DistCsr:
-    """Split A's rows (or A''s, for vxm use) into per-device CSR slabs."""
+    """Split A's rows (or A''s, for vxm use) into per-device CSR slabs.
+    Accepts a bitmap Matrix or a CsrMatrix (no densify)."""
     mesh = mesh or make_mesh()
     d = int(np.prod(mesh.devices.shape))
-    A = A.wait()
-    I, J, X = A.extractTuples()
-    nrows, ncols = (A.ncols, A.nrows) if transpose else (A.nrows, A.ncols)
+    if isinstance(A, Matrix):
+        A = A.wait()
+        I, J, X = A.extractTuples()
+        nr, nc = A.nrows, A.ncols
+    else:  # CsrMatrix / anything with extractTuples + shape
+        I, J, X = A.extractTuples()
+        nr, nc = A.shape
+    nrows, ncols = (nc, nr) if transpose else (nr, nc)
     if transpose:
         I, J = J, I
         order = np.lexsort((J, I))
@@ -146,9 +152,10 @@ def dist_csr_pagerank(A: Matrix, iters: int = 20,
     return r / r.sum()
 
 
-def dist_csr_bfs(A: Matrix, src: int,
+def dist_csr_bfs(A, src: int,
                  mesh: Optional[Mesh] = None) -> np.ndarray:
-    """BFS levels over the sharded-CSR frontier SpMV."""
+    """BFS levels over the sharded-CSR frontier SpMV.  Accepts Matrix
+    or CsrMatrix."""
     mesh = mesh or make_mesh()
     D = dist_csr_from_matrix(A, mesh, transpose=True)
     n = A.nrows

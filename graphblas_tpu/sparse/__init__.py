@@ -6,8 +6,11 @@ from .bitpack import pack_pattern, popcount, words_for
 from .spmv import csr_mxv, csr_vxm, segment_reduce
 from .spgemm import (edge_intersection_counts, masked_spgemm_counts,
                      tricount_sparse, ktruss_sparse)
-from .bsr import (tile_pattern, tile_matrix, bsr_masked_count,
+from .bsr import (tile_pattern, tile_pattern_from_coo, tile_matrix,
+                  bsr_masked_count,
                   tricount_bsr, TilePattern)
+from .ewise import (csr_ewise_add, csr_ewise_mult, csr_apply,
+                    csr_select, csr_reduce_rows, csr_reduce_scalar)
 from .pallas_bsr import (bsr_masked_mm_pallas, bsr_masked_count_pallas,
                          tricount_bsr_pallas, masked_mxm)
 
@@ -15,7 +18,9 @@ __all__ = [
     "CsrMatrix", "csr_from_coo", "pack_pattern", "popcount", "words_for",
     "csr_mxv", "csr_vxm", "segment_reduce", "edge_intersection_counts",
     "masked_spgemm_counts", "tricount_sparse", "ktruss_sparse",
-    "tile_pattern", "tile_matrix", "bsr_masked_count", "tricount_bsr", "TilePattern",
+    "tile_pattern", "tile_pattern_from_coo", "tile_matrix", "bsr_masked_count", "tricount_bsr", "TilePattern",
     "bsr_masked_mm_pallas", "bsr_masked_count_pallas",
-    "tricount_bsr_pallas", "masked_mxm",
+    "tricount_bsr_pallas", "masked_mxm", "csr_ewise_add",
+    "csr_ewise_mult", "csr_apply", "csr_select", "csr_reduce_rows",
+    "csr_reduce_scalar",
 ]

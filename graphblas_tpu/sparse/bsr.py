@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["tile_pattern", "tile_matrix", "bsr_masked_count",
-           "tricount_bsr", "TilePattern"]
+__all__ = ["tile_pattern", "tile_pattern_from_coo", "tile_matrix",
+           "bsr_masked_count", "tricount_bsr", "TilePattern"]
 
 TILE = 128
 
@@ -65,6 +65,34 @@ def tile_pattern(pattern: np.ndarray, T: int = TILE) -> TilePattern:
     tiles = blocks[ids[0], ids[1]].astype(np.int8)
     index = np.zeros((Tm, Tn), np.int32)
     index[ids] = np.arange(len(ids[0]), dtype=np.int32)
+    return TilePattern(jnp.asarray(tiles), grid, index, (m, n), T)
+
+
+def tile_pattern_from_coo(I, J, shape, T: int = TILE) -> TilePattern:
+    """BSR decomposition straight from an edge list — no dense [m, n]
+    intermediate, so it scales to graphs whose dense pattern would not
+    fit host memory.  Only nonempty tiles are materialized."""
+    I = np.asarray(I, np.int64)
+    J = np.asarray(J, np.int64)
+    m, n = shape
+    Tm, Tn = -(-m // T), -(-n // T)
+    ti, tj = I // T, J // T
+    tid = ti * Tn + tj
+    order = np.argsort(tid, kind="stable")
+    tid_s = tid[order]
+    uniq, starts = np.unique(tid_s, return_index=True)
+    ntiles = len(uniq)
+    tiles = np.zeros((ntiles, T, T), np.int8)
+    # scatter each edge's (local row, local col) bit into its tile slot
+    slot_of = np.zeros(Tm * Tn, np.int64)
+    slot_of[uniq] = np.arange(ntiles)
+    li = (I % T)[order]
+    lj = (J % T)[order]
+    tiles[slot_of[tid_s], li, lj] = 1
+    grid = np.zeros((Tm, Tn), bool)
+    grid[uniq // Tn, uniq % Tn] = True
+    index = np.zeros((Tm, Tn), np.int32)
+    index[uniq // Tn, uniq % Tn] = np.arange(ntiles, dtype=np.int32)
     return TilePattern(jnp.asarray(tiles), grid, index, (m, n), T)
 
 

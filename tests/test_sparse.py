@@ -198,3 +198,71 @@ def test_bsr_count_masked_mxm():
     C = sp.masked_mxm(A, A, A)  # C<A> = A*A counting
     want = ((pat.astype(np.int64) @ pat) * pat)
     assert np.array_equal(C.to_dense(), want.astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
+# CSR elementwise / apply / select / reduce
+# ---------------------------------------------------------------------------
+
+def test_csr_ewise_add_mult():
+    A, Ad, Am = _rand_csr(15, 12, 0.3, 30)
+    B, Bd, Bm = _rand_csr(15, 12, 0.3, 31)
+    op = gb.binary.plus[gb.FP64]
+    C = sp.csr_ewise_add(op, A, B)
+    want_pat = Am | Bm
+    want = np.where(Am & Bm, Ad + Bd, np.where(Am, Ad, Bd))
+    M = C.to_matrix()
+    assert np.array_equal(M.pattern_np(), want_pat)
+    assert np.allclose(M.to_dense(), np.where(want_pat, want, 0))
+    D = sp.csr_ewise_mult(gb.binary.times[gb.FP64], A, B)
+    Md = D.to_matrix()
+    assert np.array_equal(Md.pattern_np(), Am & Bm)
+    assert np.allclose(Md.to_dense(), np.where(Am & Bm, Ad * Bd, 0))
+
+
+def test_csr_apply_select_reduce():
+    A, Ad, Am = _rand_csr(10, 10, 0.4, 32)
+    C = sp.csr_apply(gb.unary.ainv[gb.FP64], A)
+    assert np.allclose(C.to_matrix().to_dense(), -Ad)
+    # select: keep strict upper triangle
+    U = sp.csr_select(gb.selectop.triu, A, 1)
+    Mu = U.to_matrix()
+    assert np.array_equal(Mu.pattern_np(), np.triu(Am, 1))
+    # row reduce
+    vals, pat = sp.csr_reduce_rows(gb.monoid.plus[gb.FP64], A)
+    assert np.allclose(np.asarray(vals), Ad.sum(axis=1))
+    assert np.array_equal(np.asarray(pat), Am.any(axis=1))
+    # scalar reduce
+    s = sp.csr_reduce_scalar(gb.monoid.plus[gb.FP64], A)
+    assert np.isclose(s, Ad.sum())
+    smax = sp.csr_reduce_scalar(gb.monoid.max[gb.FP64], A)
+    assert np.isclose(smax, Ad[Am].max())
+
+
+def test_tile_pattern_from_coo_matches_dense():
+    rng = np.random.default_rng(13)
+    pat = rng.random((300, 260)) < 0.03
+    I, J = np.nonzero(pat)
+    t1 = sp.tile_pattern(pat)
+    from graphblas_tpu.sparse.bsr import tile_pattern_from_coo
+    t2 = tile_pattern_from_coo(I, J, pat.shape)
+    assert np.array_equal(t1.grid, t2.grid)
+    # same tiles content (order may differ; compare via index map)
+    for (ti, tj) in zip(*np.nonzero(t1.grid)):
+        a = np.asarray(t1.tiles)[t1.index[ti, tj]]
+        b = np.asarray(t2.tiles)[t2.index[ti, tj]]
+        assert np.array_equal(a, b)
+
+
+def test_rmat_generator():
+    from graphblas_tpu.models.rmat import rmat_edges, rmat_graph
+    I, J = rmat_edges(10, 8, seed=3)
+    n = 1 << 10
+    assert I.max() < n and J.max() < n
+    assert (I != J).all()
+    # symmetric + deduped
+    lin = set(zip(I.tolist(), J.tolist()))
+    assert all((j, i) in lin for i, j in list(lin)[:100])
+    A = rmat_graph(8, 4, seed=5)
+    assert A.nrows == 256
+    assert A.nvals == len(rmat_edges(8, 4, seed=5)[0])
