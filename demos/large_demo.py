@@ -57,12 +57,13 @@ def main():
     from graphblas_tpu.sparse import csr_mxv
     from graphblas_tpu.core.semirings import semiring
     sr = semiring.plus_times[gb.FP32]
-    y, _ = csr_mxv(sr, A, jnp.asarray(x))
+    xd = jnp.asarray(x)  # device-resident: time the kernel, not PCIe
+    y, _ = csr_mxv(sr, A, xd)
     y.block_until_ready()
     K = 20
     t0 = time.perf_counter()
     for _ in range(K):
-        y, _ = csr_mxv(sr, A, jnp.asarray(x))
+        y, _ = csr_mxv(sr, A, xd)
     y.block_until_ready()
     dt = (time.perf_counter() - t0) / K
     print(f"spmv: {dt*1e3:.2f} ms -> {len(I)/dt/1e6:.0f} M nnz/s")

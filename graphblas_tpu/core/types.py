@@ -169,10 +169,15 @@ def cast(x: jnp.ndarray, to_type: Type) -> jnp.ndarray:
     if to_type.is_bool:
         return x != 0
     if np.issubdtype(src, np.floating) and to_type.is_integer:
-        # C-style: truncate toward zero.  Guard NaN -> 0 like a well-defined C
-        # implementation; out-of-range values follow XLA convert semantics.
+        # C-style truncation toward zero for finite values; NaN -> 0,
+        # +Inf -> int max, -Inf -> int min (GB_CAST, GB.h:2925-2948 —
+        # "the same behavior as MATLAB" for non-finite values only).
+        info = np.iinfo(dst)
         x = jnp.where(jnp.isnan(x), 0, x)
-        return jnp.trunc(x).astype(dst)
+        t = jnp.trunc(x).astype(dst)
+        t = jnp.where(jnp.isposinf(x), jnp.asarray(info.max, dst), t)
+        t = jnp.where(jnp.isneginf(x), jnp.asarray(info.min, dst), t)
+        return t
     return x.astype(dst)
 
 
@@ -183,8 +188,13 @@ def cast_value(x, to_type: Type):
     if to_type.is_bool:
         return np.bool_(x != 0)
     if to_type.is_integer and isinstance(x, (float, np.floating)):
+        info0 = np.iinfo(to_type.dtype)
         if np.isnan(x):
             x = 0.0
+        elif np.isposinf(x):
+            return np.asarray(info0.max, to_type.dtype)[()]
+        elif np.isneginf(x):
+            return np.asarray(info0.min, to_type.dtype)[()]
         x = np.trunc(x)
         # modular wrap like C
         info = np.iinfo(to_type.dtype)

@@ -226,3 +226,35 @@ def test_row_col_iterators():
     for j, rows, vals in A.cols():
         assert np.array_equal(rows, np.nonzero(mask[:, j])[0])
         assert np.allclose(vals, dense[:, j][rows])
+
+
+# ---------------------------------------------------------------------------
+# typecast parity: NaN/Inf -> int (GB_CAST, GB.h:2925-2948) + isequal
+# ---------------------------------------------------------------------------
+
+def test_cast_nonfinite_float_to_int():
+    import jax.numpy as jnp
+    from graphblas_tpu.core.types import cast, cast_value
+    x = jnp.asarray([1.9, -1.9, np.nan, np.inf, -np.inf])
+    got = np.asarray(cast(x, gb.INT32))
+    assert got.tolist() == [1, -1, 0, 2**31 - 1, -(2**31)]
+    got8 = np.asarray(cast(x, gb.INT8))
+    assert got8[2] == 0 and got8[3] == 127 and got8[4] == -128
+    assert cast_value(np.inf, gb.UINT8) == 255
+    assert cast_value(-np.inf, gb.INT16) == -32768
+    assert cast_value(np.nan, gb.INT64) == 0
+
+
+def test_isequal():
+    from graphblas_tpu.utils.compare import isequal
+    A, dense, mask = _rand(4, 5, 10)
+    B = gb.Matrix.from_dense(dense, gb.FP64, pattern=mask)
+    assert isequal(A, B)
+    C = B.setElement(99.0, 0, 0)
+    assert not isequal(A, C)
+    # same values in a different type: not equal unless typecheck off
+    ints = np.round(dense * 4) * mask  # exactly representable in f32
+    E64 = gb.Matrix.from_dense(ints, gb.FP64, pattern=mask)
+    E32 = gb.Matrix.from_dense(ints, gb.FP32, pattern=mask)
+    assert not isequal(E64, E32)          # type differs
+    assert isequal(E64, E32, typecheck=False)
