@@ -169,15 +169,17 @@ def cast(x: jnp.ndarray, to_type: Type) -> jnp.ndarray:
     if to_type.is_bool:
         return x != 0
     if np.issubdtype(src, np.floating) and to_type.is_integer:
-        # C-style truncation toward zero for finite values; NaN -> 0,
-        # +Inf -> int max, -Inf -> int min (GB_CAST, GB.h:2925-2948 —
-        # "the same behavior as MATLAB" for non-finite values only).
+        # Truncate toward zero for in-range values; NaN -> 0, and both
+        # infinities AND finite out-of-range values saturate to int
+        # min/max.  The reference leaves finite out-of-range to the C
+        # compiler (GB_CAST, GB.h:2900-2948); we pick saturation because
+        # it is deterministic and identical on host (cast_value) and
+        # device (XLA convert semantics vary by backend).
         info = np.iinfo(dst)
         x = jnp.where(jnp.isnan(x), 0, x)
-        t = jnp.trunc(x).astype(dst)
-        t = jnp.where(jnp.isposinf(x), jnp.asarray(info.max, dst), t)
-        t = jnp.where(jnp.isneginf(x), jnp.asarray(info.min, dst), t)
-        return t
+        t = jnp.trunc(x)
+        t = jnp.clip(t, float(info.min), float(info.max))
+        return t.astype(dst)
     return x.astype(dst)
 
 
@@ -188,20 +190,18 @@ def cast_value(x, to_type: Type):
     if to_type.is_bool:
         return np.bool_(x != 0)
     if to_type.is_integer and isinstance(x, (float, np.floating)):
-        info0 = np.iinfo(to_type.dtype)
-        if np.isnan(x):
-            x = 0.0
-        elif np.isposinf(x):
-            return np.asarray(info0.max, to_type.dtype)[()]
-        elif np.isneginf(x):
-            return np.asarray(info0.min, to_type.dtype)[()]
-        x = np.trunc(x)
-        # modular wrap like C
+        # same rule as cast(): NaN -> 0, out-of-range (incl. +-Inf)
+        # saturates — keeps host-assembled pending tuples bit-identical
+        # to device-cast arrays
         info = np.iinfo(to_type.dtype)
-        span = (int(info.max) - int(info.min) + 1)
-        xi = int(x)
-        xi = (xi - int(info.min)) % span + int(info.min)
-        return np.asarray(xi, dtype=to_type.dtype)[()]
+        if np.isnan(x):
+            return np.asarray(0, to_type.dtype)[()]
+        xi = np.trunc(x)
+        if xi >= float(info.max):
+            return np.asarray(info.max, to_type.dtype)[()]
+        if xi <= float(info.min):
+            return np.asarray(info.min, to_type.dtype)[()]
+        return np.asarray(int(xi), dtype=to_type.dtype)[()]
     return np.asarray(x).astype(to_type.dtype)[()]
 
 

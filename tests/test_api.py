@@ -258,3 +258,30 @@ def test_isequal():
     E32 = gb.Matrix.from_dense(ints, gb.FP32, pattern=mask)
     assert not isequal(E64, E32)          # type differs
     assert isequal(E64, E32, typecheck=False)
+
+
+def test_cast_saturation_host_device_consistent():
+    import jax.numpy as jnp
+    from graphblas_tpu.core.types import cast, cast_value
+    for v in (3e9, -3e9, 1e300, -1e300):
+        dev = int(np.asarray(cast(jnp.asarray([v]), gb.INT32))[0])
+        host = int(cast_value(v, gb.INT32))
+        assert dev == host, (v, dev, host)
+    assert cast_value(3e9, gb.INT32) == 2**31 - 1
+
+
+def test_isequal_nan_and_mixed():
+    from graphblas_tpu.utils.compare import isequal
+    d = np.array([[np.nan, 1.0]])
+    p = np.array([[True, True]])
+    A = gb.Matrix.from_dense(d, gb.FP64, pattern=p)
+    assert not isequal(A, A.dup())    # NaN != NaN (isequal.c)
+    # small-magnitude errors not masked by an absolute term
+    B = gb.Matrix.from_dense(np.array([[0.0, 1.0]]), gb.FP64, pattern=p)
+    C = gb.Matrix.from_dense(np.array([[1e-9, 1.0]]), gb.FP64, pattern=p)
+    assert not isequal(B, C, rtol=1e-12)
+    # builtin vs UDT with typecheck off -> False, not TypeError
+    from graphblas_tpu.core.types import Type
+    U = Type.udt("u", a=gb.FP64)
+    M = gb.Matrix.new(U, 1, 2)
+    assert not isequal(B, M, typecheck=False)
