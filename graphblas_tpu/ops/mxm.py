@@ -260,13 +260,23 @@ def semiring_mm(sr: Semiring, Av, Ap, Bv, Bp, method_hint=None):
 # public API
 # ---------------------------------------------------------------------------
 
+def _as_bitmap(X):
+    """Accept CsrMatrix anywhere a bitmap Matrix is expected (the
+    backend auto-select; large masked products should call
+    sparse.masked_mxm directly to stay on the tile path)."""
+    from ..sparse.container import CsrMatrix
+    return X.to_matrix() if isinstance(X, CsrMatrix) else X
+
+
 def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
         semiring: Semiring, A: Matrix, B: Matrix,
         desc: Optional[Descriptor] = None) -> Matrix:
     """C<M> = accum(C, A*B) (reference ``GrB_mxm`` -> ``GB_mxm.c``)."""
     d = desc_of(desc)
-    A = A.wait()
-    B = B.wait()
+    A = _as_bitmap(A).wait()
+    B = _as_bitmap(B).wait()
+    C = _as_bitmap(C)
+    M = _as_bitmap(M) if M is not None else None
     Av, Ap = (A.values, A.pattern)
     Bv, Bp = (B.values, B.pattern)
     if d.tran0:
@@ -282,9 +292,17 @@ def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
 def mxv(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
         semiring: Semiring, A: Matrix, u: Vector,
         desc: Optional[Descriptor] = None) -> Vector:
-    """w<m> = accum(w, A*u) (reference ``GrB_mxv``)."""
+    """w<m> = accum(w, A*u) (reference ``GrB_mxv``).  A CsrMatrix input
+    with no transpose routes to the edge-parallel sparse kernel."""
+    from ..sparse.container import CsrMatrix
     d = desc_of(desc)
-    A = A.wait()
+    if isinstance(A, CsrMatrix) and not d.tran0:
+        from ..sparse.spmv import csr_mxv
+        u = u.wait()
+        yv, yp = csr_mxv(semiring, A, u.values, u.pattern)
+        T = Vector(yv, yp, semiring.ztype)
+        return accum_mask(w, m, T, accum, d)
+    A = _as_bitmap(A).wait()
     u = u.wait()
     Av, Ap = (A.values, A.pattern)
     if d.tran0:
@@ -301,8 +319,16 @@ def vxm(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
         semiring: Semiring, u: Vector, A: Matrix,
         desc: Optional[Descriptor] = None) -> Vector:
     """w<m> = accum(w, u'*A) (reference ``GrB_vxm``; INP1 transposes A)."""
+    from ..sparse.container import CsrMatrix
     d = desc_of(desc)
-    A = A.wait()
+    if isinstance(A, CsrMatrix) and d.tran1:
+        # u' * A' = (A u)': the CSR kernel handles it directly
+        from ..sparse.spmv import csr_mxv
+        u = u.wait()
+        yv, yp = csr_mxv(semiring, A, u.values, u.pattern)
+        T = Vector(yv, yp, semiring.ztype)
+        return accum_mask(w, m, T, accum, d)
+    A = _as_bitmap(A).wait()
     u = u.wait()
     Av, Ap = (A.values, A.pattern)
     if d.tran1:

@@ -80,37 +80,37 @@ def _mult_apply(sr: Semiring, avals, xvals):
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _csr_mxv_jit(add_name: str, sr: Semiring, nrows: int, avals, cols,
-                 rows, x_ext, identity):
-    xg = jnp.take(x_ext, cols, axis=0)      # padded lanes hit the identity
+                 rows, x_ext, xp_ext, identity):
+    xg = jnp.take(x_ext, cols, axis=0)      # padded lanes hit the slot
+    xpg = jnp.take(xp_ext, cols, axis=0)    # structural presence of x
     z = _mult_apply(sr, avals, xg)
-    if add_name in ("PLUS", "LXOR"):
-        # padded rowid == nrows lands in the dropped extra segment
-        y = segment_reduce(add_name, z, rows, nrows + 1, identity)[:nrows]
-        return y
-    # min/max-style reduces need identity padding on empty/padded lanes
-    z = jnp.where(rows < nrows, z, jnp.asarray(identity, z.dtype))
+    # absent-x and padded lanes contribute the add identity (this is
+    # what makes the kernel correct for ALL semirings with sparse x,
+    # not just those where mult(a, 0) == identity)
+    live = xpg & (rows < nrows)
+    z = jnp.where(live, z, jnp.asarray(identity, z.dtype))
     y = segment_reduce(add_name, z, jnp.minimum(rows, nrows), nrows + 1,
                        identity)[:nrows]
     return y
 
 
 def csr_mxv(sr: Semiring, A: CsrMatrix, x, x_pattern=None):
-    """(yvals, ypat) = A *.sr* x.  x: dense [ncols] array; absent entries
-    of x must already hold the multiplicative annihilator (0)."""
+    """(yvals, ypat) = A *.sr* x.  x: dense [ncols] value array;
+    ``x_pattern`` marks present entries (None = all present)."""
     ident = sr.add.identity
     x = jnp.asarray(x)
-    # identity slot for padded column indices (sentinel = ncols)
-    x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
-    avals = A.values if not A.type.is_bool else A.values
-    y = _csr_mxv_jit(sr.add.op.name, sr, A.nrows, avals, A.indices,
-                     A.rowids, x_ext, ident)
-    # pattern: rows with >= 1 structural contribution
     if x_pattern is None:
         xp = jnp.ones(A.ncols, bool)
     else:
         xp = jnp.asarray(x_pattern, bool)
-    xp_ext = jnp.concatenate([xp, jnp.zeros((1,), bool)])
-    hit = jnp.take(xp_ext, A.indices, axis=0) & (A.rowids < A.nrows)
+    # identity slot for padded column indices (sentinel = ncols)
+    x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+    xp_ext0 = jnp.concatenate([xp, jnp.zeros((1,), bool)])
+    avals = A.values
+    y = _csr_mxv_jit(sr.add.op.name, sr, A.nrows, avals, A.indices,
+                     A.rowids, x_ext, xp_ext0, ident)
+    # pattern: rows with >= 1 structural contribution
+    hit = jnp.take(xp_ext0, A.indices, axis=0) & (A.rowids < A.nrows)
     ypat = jax.ops.segment_max(hit.astype(jnp.int32),
                                jnp.minimum(A.rowids, A.nrows),
                                num_segments=A.nrows + 1)[:A.nrows] > 0

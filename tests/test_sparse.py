@@ -266,3 +266,38 @@ def test_rmat_generator():
     A = rmat_graph(8, 4, seed=5)
     assert A.nrows == 256
     assert A.nvals == len(rmat_edges(8, 4, seed=5)[0])
+
+
+def test_csr_mxv_sparse_x_min_plus():
+    # sparse x where mult(a, 0) != add identity: only correct if absent
+    # contributions are masked to the identity
+    A, Ad, Am = _rand_csr(10, 8, 0.5, 40)
+    xp = np.zeros(8, bool)
+    xp[[1, 4, 6]] = True
+    x = np.where(xp, np.arange(8, dtype=np.float64), 0.0)
+    sr = semiring.min_plus[gb.FP64]
+    y, ypat = sp.csr_mxv(sr, A, jnp.asarray(x), x_pattern=xp)
+    # oracle via bitmap backend
+    u = gb.Vector.from_dense(x, gb.FP64, pattern=xp)
+    want = gb.mxv(gb.Vector.new(gb.FP64, 10), None, None, sr,
+                  A.to_matrix(), u)
+    assert np.array_equal(np.asarray(ypat), want.pattern_np())
+    got = np.where(np.asarray(ypat), np.asarray(y), 0)
+    assert np.allclose(got, want.to_dense())
+
+
+def test_top_level_mxv_routes_csr():
+    from graphblas_tpu.ops.flopcount import last_axb_method
+    A, Ad, Am = _rand_csr(9, 9, 0.4, 41)
+    u = gb.Vector.from_dense(np.arange(9, dtype=np.float64))
+    w = gb.mxv(gb.Vector.new(gb.FP64, 9), None, None,
+               semiring.plus_times[gb.FP64], A, u)
+    assert np.allclose(w.to_dense(), Ad @ np.arange(9.0))
+    # vxm with TRAN1 also hits the CSR kernel
+    w2 = gb.vxm(gb.Vector.new(gb.FP64, 9), None, None,
+                semiring.plus_times[gb.FP64], u, A, gb.TRAN1)
+    assert np.allclose(w2.to_dense(), Ad @ np.arange(9.0))
+    # mxm accepts CsrMatrix operands (auto-densify)
+    C = gb.mxm(gb.Matrix.new(gb.FP64, 9, 9), None, None,
+               semiring.plus_times[gb.FP64], A, A)
+    assert np.allclose(C.to_dense(), Ad @ Ad)
