@@ -18,14 +18,26 @@ from ..core.types import Type, type_of_dtype
 __all__ = ["save_matrix", "load_matrix", "save_vector", "load_vector"]
 
 
+def _flatten_udt(X, prefix=""):
+    out = {}
+    for k, v in X.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_udt(v, key + "."))
+        else:
+            out[key] = v
+    return out
+
+
 def save_matrix(path, A) -> None:
-    """Serialize a Matrix/CsrMatrix to .npz (CSR arrays)."""
+    """Serialize a Matrix/CsrMatrix to .npz (CSR arrays; UDTs save one
+    array per (possibly nested) field)."""
     if isinstance(A, Matrix) and A.type.is_udt:
         I, J, X = A.extractTuples()
-        fields = {f"field_{k}": v for k, v in X.items()}
-        np.savez_compressed(path, kind="udt", nrows=A.nrows,
-                            ncols=A.ncols, I=I, J=J,
-                            field_names=list(X.keys()), **fields)
+        fields = {f"field.{k}": v for k, v in _flatten_udt(X).items()}
+        np.savez_compressed(path, kind="udt", typename=A.type.name,
+                            nrows=A.nrows, ncols=A.ncols, I=I, J=J,
+                            **fields)
         return
     nr, nc, p, j, x = export_csr(A)
     np.savez_compressed(path, kind="csr", nrows=nr, ncols=nc,
@@ -33,16 +45,34 @@ def save_matrix(path, A) -> None:
 
 
 def load_matrix(path, type: Type = None, as_csr: bool = False):
-    """Load a matrix saved by :func:`save_matrix`."""
+    """Load a matrix saved by :func:`save_matrix`.  UDT archives need
+    the matching ``type`` passed in (the Type carries the field map)."""
     z = np.load(path, allow_pickle=False)
     if str(z["kind"]) == "udt":
-        raise NotImplementedError(
-            "UDT load requires the field Type map; rebuild via "
-            "Matrix.from_coo with the saved field_* arrays")
+        if type is None or not type.is_udt:
+            raise ValueError("loading a UDT archive requires type=")
+        nr, nc = int(z["nrows"]), int(z["ncols"])
+        I, J = z["I"], z["J"]
+        M = Matrix.new(type, nr, nc)
+
+        def field(t, prefix=""):
+            return {k: (field(ft, f"{prefix}{k}.") if ft.is_udt else
+                        z[f"field.{prefix}{k}"])
+                    for k, ft in t.fields}
+        X = field(type)
+        for k in range(len(I)):
+            val = _index_udt(X, int(k))
+            M = M.setElement(val, int(I[k]), int(J[k]), blocking=False)
+        return M.wait()
     nr, nc = int(z["nrows"]), int(z["ncols"])
     t = type or type_of_dtype(z["values"].dtype)
     C = import_csr(nr, nc, z["indptr"], z["indices"], z["values"], t)
     return C if as_csr else C.to_matrix()
+
+
+def _index_udt(X, k):
+    return {key: (_index_udt(v, k) if isinstance(v, dict) else v[k])
+            for key, v in X.items()}
 
 
 def save_vector(path, v: Vector) -> None:

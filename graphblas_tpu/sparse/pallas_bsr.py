@@ -184,11 +184,15 @@ def masked_mxm(M, A, B, semiring=None, T: int = TILE,
         (semiring is not None and semiring.mult.name in ("LAND", "PAIR")
          and semiring.add.op.name == "PLUS")
     Mt_tiles = tile_pattern(Mpat, T)
+    Apt = tile_pattern(Apat, T)
+    Bpt = tile_pattern(Bpat.T, T)
+    # structural pattern of T = positions with >= 1 contributing pair
+    # (keeps explicit-zero vs absent parity with the spec: the result's
+    # pattern is M ∩ pattern(A·B'), not all of M)
+    Cnt, outs = bsr_masked_mm_pallas(Mt_tiles, Apt, Bpt, jnp.int32,
+                                     interpret)
     if counting and (semiring is None or At.is_bool):
-        Ap = tile_pattern(Apat, T)
-        Bp = tile_pattern(Bpat.T, T)
-        C, outs = bsr_masked_mm_pallas(Mt_tiles, Ap, Bp, jnp.int32,
-                                       interpret)
+        C = Cnt
         out_t = INT32
         record_axb_method("pallas:bsr_count")
     else:
@@ -198,14 +202,18 @@ def masked_mxm(M, A, B, semiring=None, T: int = TILE,
                                        interpret)
         out_t = FP32
         record_axb_method("pallas:bsr_values")
-    # reassemble the bitmap result on M's pattern
+    # reassemble the bitmap result on M ∩ structure(A·B')
     m, n = Mpat.shape
-    Cn = np.zeros((Mt_tiles.grid.shape[0] * T,
-                   Mt_tiles.grid.shape[1] * T), np.asarray(C).dtype)
     Cnp = np.asarray(C)
+    Cntp = np.asarray(Cnt)
+    Tm = Mt_tiles.grid.shape[0] * T
+    Tn = Mt_tiles.grid.shape[1] * T
+    Cn = np.zeros((Tm, Tn), Cnp.dtype)
+    Sp = np.zeros((Tm, Tn), bool)
     for t_, (I, J) in enumerate(outs):
         Cn[I * T:(I + 1) * T, J * T:(J + 1) * T] = Cnp[t_]
+        Sp[I * T:(I + 1) * T, J * T:(J + 1) * T] = Cntp[t_] > 0
     Cn = Cn[:m, :n]
-    pat = Mpat & (np.ones_like(Mpat))
-    return Matrix(jnp.asarray(np.where(Mpat, Cn, 0)),
-                  jnp.asarray(Mpat), out_t)
+    pat = Mpat & Sp[:m, :n]
+    return Matrix(jnp.asarray(np.where(pat, Cn, 0)),
+                  jnp.asarray(pat), out_t)

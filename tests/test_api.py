@@ -285,3 +285,35 @@ def test_isequal_nan_and_mixed():
     U = Type.udt("u", a=gb.FP64)
     M = gb.Matrix.new(U, 1, 2)
     assert not isequal(B, M, typecheck=False)
+
+
+def test_checkpoint_udt(tmp_path):
+    from graphblas_tpu import io as gbio
+    from graphblas_tpu.core.types import Type
+    U = Type.udt("pt", a=gb.FP64, b=gb.INT32)
+    M = gb.Matrix.new(U, 3, 3)
+    M = M.setElement({"a": 1.5, "b": 2}, 0, 1)
+    M = M.setElement({"a": -0.5, "b": 7}, 2, 0)
+    p = tmp_path / "u.npz"
+    gbio.save_matrix(p, M)
+    N = gbio.load_matrix(p, type=U)
+    assert N.extractElement(0, 1) == {"a": 1.5, "b": 2}
+    assert N.extractElement(2, 0)["b"] == 7
+    assert N.nvals() == 2
+
+
+def test_masked_mxm_pattern_exactness():
+    # entries of M where A*B has no structural contribution must be
+    # ABSENT in the result, not explicit zeros
+    from graphblas_tpu import sparse as sp
+    A = np.zeros((130, 130), bool)
+    A[0, 1] = A[1, 0] = True      # only one pair
+    M = np.ones((130, 130), bool)
+    Am = gb.Matrix.from_dense(A, gb.BOOL, pattern=A)
+    Mm = gb.Matrix.from_dense(M, gb.BOOL, pattern=M)
+    C = sp.masked_mxm(Mm, Am, Am)
+    pat = C.pattern_np()
+    # structure of A*A' here: (0,0) and (1,1) only
+    want = np.zeros_like(M)
+    want[0, 0] = want[1, 1] = True
+    assert np.array_equal(pat, want)
