@@ -11,6 +11,7 @@ from .bsr import (tile_pattern, tile_pattern_from_coo, tile_matrix,
                   tricount_bsr, TilePattern)
 from .ewise import (csr_ewise_add, csr_ewise_mult, csr_apply,
                     csr_select, csr_reduce_rows, csr_reduce_scalar)
+from .algorithms import bfs_csr, pagerank_csr
 from .pallas_bsr import (bsr_masked_mm_pallas, bsr_masked_count_pallas,
                          tricount_bsr_pallas, masked_mxm)
 
@@ -22,5 +23,5 @@ __all__ = [
     "bsr_masked_mm_pallas", "bsr_masked_count_pallas",
     "tricount_bsr_pallas", "masked_mxm", "csr_ewise_add",
     "csr_ewise_mult", "csr_apply", "csr_select", "csr_reduce_rows",
-    "csr_reduce_scalar",
+    "csr_reduce_scalar", "bfs_csr", "pagerank_csr",
 ]

@@ -301,3 +301,31 @@ def test_top_level_mxv_routes_csr():
     C = gb.mxm(gb.Matrix.new(gb.FP64, 9, 9), None, None,
                semiring.plus_times[gb.FP64], A, A)
     assert np.allclose(C.to_dense(), Ad @ Ad)
+
+
+def test_bfs_csr_whole_loop():
+    from graphblas_tpu import models
+    rng = np.random.default_rng(50)
+    pat = rng.random((80, 80)) < 0.05
+    pat = (pat | pat.T) & ~np.eye(80, dtype=bool)
+    I, J = np.nonzero(pat)
+    A = sp.CsrMatrix.from_coo(I, J, np.ones(len(I), np.float32), 80, 80,
+                              type=gb.FP32)
+    Am = gb.Matrix.from_dense(pat, gb.BOOL, pattern=pat)
+    want = models.bfs_jit(Am, 0)
+    got = sp.bfs_csr(A, 0)
+    assert np.array_equal(got, want)
+
+
+def test_pagerank_csr_whole_loop():
+    from graphblas_tpu import models
+    rng = np.random.default_rng(51)
+    pat = rng.random((60, 60)) < 0.1
+    np.fill_diagonal(pat, False)
+    I, J = np.nonzero(pat)
+    A = sp.CsrMatrix.from_coo(I, J, np.ones(len(I), np.float32), 60, 60,
+                              type=gb.FP32)
+    Am = gb.Matrix.from_dense(pat, gb.BOOL, pattern=pat)
+    want = models.pagerank_jit(Am, iters=20)
+    got = sp.pagerank_csr(A, iters=20)
+    assert np.allclose(got, want, atol=2e-6)
