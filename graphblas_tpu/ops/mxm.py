@@ -165,6 +165,30 @@ def _mxu_path(sr: Semiring, Av, Ap, Bv, Bp):
 
 
 # ---------------------------------------------------------------------------
+# tropical Pallas path: MIN/MAX-monoid semirings the MXU cannot express
+# ---------------------------------------------------------------------------
+
+def _tropical_pallas_path(sr: Semiring, Av, Ap, Bv, Bp):
+    """Route fp32 tropical semirings (MIN_PLUS etc.) to the VMEM-blocked
+    Pallas kernel; absent entries are filled with the add identity so
+    only present pairs can win the reduction."""
+    from ..sparse.pallas_tropical import TROPICAL_PAIRS, tropical_mm
+    add, mult = sr.add.op.name, sr.mult.name
+    zt = sr.ztype
+    if zt.is_udt or (add, mult) not in TROPICAL_PAIRS:
+        return None
+    if jax.default_backend() == "cpu":
+        return None  # interpret-mode Pallas is slower than the scan
+    if np.dtype(zt.dtype) != np.dtype(np.float32):
+        return None  # integer fills could overflow; f64 VPU unsupported
+    ident = jnp.float32(sr.add.identity)
+    a = jnp.where(Ap, cast(Av, zt), ident)
+    b = jnp.where(Bp, cast(Bv, zt), ident)
+    out = tropical_mm(a, b, add, mult, interpret=False)
+    return out, f"pallas:tropical_{add.lower()}_{mult.lower()}"
+
+
+# ---------------------------------------------------------------------------
 # generic VPU path: k-blocked scan of broadcast-mult + monoid reduce
 # ---------------------------------------------------------------------------
 
@@ -241,6 +265,8 @@ def semiring_mm(sr: Semiring, Av, Ap, Bv, Bp, method_hint=None):
     tpat = _pattern_mm(Ap, Bp)
     fast = None if method_hint in ("gustavson", "heap") \
         else _mxu_path(sr, Av, Ap, Bv, Bp)
+    if fast is None and method_hint not in ("gustavson", "heap"):
+        fast = _tropical_pallas_path(sr, Av, Ap, Bv, Bp)
     if fast is not None:
         vals, method = fast
     else:

@@ -329,3 +329,37 @@ def test_pagerank_csr_whole_loop():
     want = models.pagerank_jit(Am, iters=20)
     got = sp.pagerank_csr(A, iters=20)
     assert np.allclose(got, want, atol=2e-6)
+
+
+@pytest.mark.parametrize("add,mult", [("MIN", "PLUS"), ("MAX", "PLUS"),
+                                      ("MIN", "MAX"), ("MAX", "MIN"),
+                                      ("MIN", "TIMES"), ("MAX", "TIMES")])
+def test_pallas_tropical_pairs(add, mult):
+    from graphblas_tpu.sparse.pallas_tropical import tropical_mm
+    rng = np.random.default_rng(60)
+    a = rng.random((140, 150)).astype(np.float32) + 0.1
+    b = rng.random((150, 130)).astype(np.float32) + 0.1
+    got = np.asarray(tropical_mm(a, b, add, mult, interpret=True))
+    ops = {"PLUS": np.add, "TIMES": np.multiply,
+           "MIN": np.minimum, "MAX": np.maximum}
+    z = ops[mult](a[:, :, None], b[None, :, :])
+    want = z.min(axis=1) if add == "MIN" else z.max(axis=1)
+    assert np.allclose(got, want, rtol=1e-6)
+
+
+def test_tropical_semiring_mm_fallback_matches_generic():
+    # on CPU the tropical route falls back to the generic scan; this
+    # verifies the (shared) semantics against the dense oracle through
+    # the public API
+    rng = np.random.default_rng(61)
+    mask = rng.random((40, 40)) < 0.4
+    Ad = (rng.random((40, 40)) * mask).astype(np.float32)
+    A = gb.Matrix.from_dense(Ad, gb.FP32, pattern=mask)
+    sr = semiring.min_plus[gb.FP32]
+    C = gb.mxm(gb.Matrix.new(gb.FP32, 40, 40), None, None, sr, A, A)
+    Af = np.where(mask, Ad.astype(np.float64), np.inf)
+    z = Af[:, :, None] + Af[None, :, :]
+    want = z.min(axis=1)
+    got = C.to_dense()
+    pat = C.pattern_np()
+    assert np.allclose(got[pat], want[pat].astype(np.float32))
