@@ -17,7 +17,7 @@ int8 0/1 tiles — the MXU's native int8 path.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -100,16 +100,27 @@ def _launch(starts, ta, tb, Atiles, Btiles, Mtiles, kmax: int,
     )(starts, ta, tb, Atiles, Btiles, Mtiles)
 
 
-def bsr_masked_mm_pallas(Mp: TilePattern, Ap: TilePattern,
+def bsr_masked_mm_pallas(Mp: Optional[TilePattern], Ap: TilePattern,
                          Bp: TilePattern, acc_dtype=jnp.int32,
                          interpret: bool = None
                          ) -> Tuple[jnp.ndarray, np.ndarray]:
-    """General Pallas BSR masked product C<M> = A · B' over M's
-    nonempty tiles.  With int8 0/1 tiles this is the counting
-    (PLUS_LAND) semiring; with value tiles and ``acc_dtype=f32`` it is
-    PLUS_TIMES — the general large-graph masked mxm engine."""
+    """General Pallas BSR product C<M> = A · B' over M's nonempty
+    tiles.  With int8 0/1 tiles this is the counting (PLUS_LAND)
+    semiring; with value tiles and ``acc_dtype=f32`` it is PLUS_TIMES —
+    the general large-graph masked mxm engine.
+
+    ``Mp=None`` computes the UNMASKED product: the output tile grid is
+    the boolean product of A's and B's tile grids (a sound upper bound
+    on C's structure — the symbolic phase at tile granularity), and the
+    in-kernel mask multiply uses a single shared all-ones tile."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if Mp is None:
+        grid_out = np.einsum("ik,jk->ij", Ap.grid, Bp.grid) > 0
+        ones = jnp.ones((1, Ap.T, Ap.T), jnp.int8)
+        index = np.zeros(grid_out.shape, np.int32)  # every tile -> slot 0
+        Mp = TilePattern(ones, grid_out, index, (
+            grid_out.shape[0] * Ap.T, grid_out.shape[1] * Ap.T), Ap.T)
     ga, gb, gm = Ap.grid, Bp.grid, Mp.grid
     trip = gm[:, :, None] & ga[:, None, :] & gb[None, :, :]
     I, J, K = np.nonzero(trip)
@@ -157,13 +168,14 @@ def tricount_bsr_pallas(Lp: np.ndarray, Up: np.ndarray,
 
 def masked_mxm(M, A, B, semiring=None, T: int = TILE,
                interpret: bool = None):
-    """High-level large-graph masked mxm: C<M> = A (+.x) B through the
-    Pallas BSR engine, auto-selected per the flop model.
+    """High-level large-graph mxm: C<M> = A (+.x) B through the Pallas
+    BSR engine, auto-selected per the flop model.
 
-    M/A/B: bitmap Matrix or CsrMatrix.  PLUS_TIMES (float) uses value
-    tiles; boolean/counting semirings use int8 pattern tiles.  Returns a
-    bitmap Matrix with C's entries on M's pattern (the reference's
-    structural-mask semantics, mask fused in-kernel).
+    M/A/B: bitmap Matrix or CsrMatrix; ``M=None`` computes the unmasked
+    product (output structure bounded by the tile-grid product).
+    PLUS_TIMES (float) uses value tiles; boolean/counting semirings use
+    int8 pattern tiles.  Returns a bitmap Matrix on the exact structure
+    of the product intersected with the mask.
     """
     from ..core.matrix import Matrix, np_bool
     from ..core.types import FP32, INT32
@@ -179,13 +191,21 @@ def masked_mxm(M, A, B, semiring=None, T: int = TILE,
 
     Av, Apat, At = to_np(A)
     Bv, Bpat, Bt = to_np(B)
-    Mv, Mpat, _ = to_np(M)
     counting = (At.is_bool and Bt.is_bool) or semiring is None or \
         (semiring is not None and semiring.mult.name in ("LAND", "PAIR")
          and semiring.add.op.name == "PLUS")
-    Mt_tiles = tile_pattern(Mpat, T)
     Apt = tile_pattern(Apat, T)
     Bpt = tile_pattern(Bpat.T, T)
+    if M is None:
+        Mpat = np.ones((Apat.shape[0], Bpat.shape[1]), bool)
+        grid_out = np.einsum("ik,jk->ij", Apt.grid, Bpt.grid) > 0
+        ones = jnp.ones((1, T, T), jnp.int8)
+        Mt_tiles = TilePattern(
+            ones, grid_out, np.zeros(grid_out.shape, np.int32),
+            (grid_out.shape[0] * T, grid_out.shape[1] * T), T)
+    else:
+        Mv, Mpat, _ = to_np(M)
+        Mt_tiles = tile_pattern(Mpat, T)
     # structural pattern of T = positions with >= 1 contributing pair
     # (keeps explicit-zero vs absent parity with the spec: the result's
     # pattern is M ∩ pattern(A·B'), not all of M)

@@ -363,3 +363,26 @@ def test_tropical_semiring_mm_fallback_matches_generic():
     got = C.to_dense()
     pat = C.pattern_np()
     assert np.allclose(got[pat], want[pat].astype(np.float32))
+
+
+def test_unmasked_bsr_spgemm():
+    rng = np.random.default_rng(70)
+    n = 300
+    mask = rng.random((n, n)) < 0.04
+    Ad = (rng.normal(size=(n, n)) * mask).astype(np.float32)
+    Bmask = rng.random((n, n)) < 0.04
+    Bd = (rng.normal(size=(n, n)) * Bmask).astype(np.float32)
+    A = gb.Matrix.from_dense(Ad, gb.FP32, pattern=mask)
+    B = gb.Matrix.from_dense(Bd, gb.FP32, pattern=Bmask)
+    C = sp.masked_mxm(None, A, B, semiring=semiring.plus_times[gb.FP32])
+    want = Ad.astype(np.float64) @ Bd.astype(np.float64)
+    want_pat = (mask.astype(np.int64) @ Bmask) > 0
+    assert np.array_equal(C.pattern_np(), want_pat)
+    got = C.to_dense()
+    assert np.allclose(got[want_pat], want[want_pat].astype(np.float32),
+                       atol=1e-4)
+    # counting form
+    Ab = gb.Matrix.from_dense(mask, gb.BOOL, pattern=mask)
+    Cc = sp.masked_mxm(None, Ab, Ab)
+    cnt = (mask.astype(np.int64) @ mask)
+    assert np.array_equal(Cc.to_dense(), cnt.astype(np.int32))
