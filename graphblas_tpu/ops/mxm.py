@@ -241,6 +241,19 @@ def _generic_path(sr: Semiring, Av, Ap, Bv, Bp):
         init = _tmap(lambda i: jnp.broadcast_to(jnp.asarray(i), (m, n)), ident)
     else:
         init = jnp.broadcast_to(jnp.asarray(ident, zt.dtype), (m, n))
+    # inside shard_map, scan carries must match the body's varying
+    # manual axes; a no-op zero derived from the (varying) inputs tags
+    # the replicated identity init accordingly
+    vzero = jnp.sum(Apb.astype(jnp.int32)) * 0
+    if zt.is_udt:
+        init = _tmap(lambda a: a if a.dtype == jnp.bool_
+                     else a + jnp.asarray(vzero, a.dtype), init)
+        init = _tmap(lambda a: a ^ (vzero != 0) if a.dtype == jnp.bool_
+                     else a, init)
+    elif np.dtype(zt.dtype) == np.bool_:
+        init = init ^ (vzero != 0)
+    else:
+        init = init + jnp.asarray(vzero, init.dtype)
     out, _ = jax.lax.scan(block, init, (Avb, Apb, Bvb, Bpb))
     return out, "vpu:generic"
 

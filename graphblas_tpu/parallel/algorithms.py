@@ -36,6 +36,21 @@ __all__ = ["dist_bfs", "dist_pagerank", "dist_tricount",
 # BFS: the frontier loop as one SPMD while_loop
 # ---------------------------------------------------------------------------
 
+_PROG_CACHE = {}
+
+
+def _cached(key, build):
+    f = _PROG_CACHE.get(key)
+    if f is None:
+        f = build()
+        _PROG_CACHE[key] = f
+    return f
+
+
+def _bfs_spmd_cached(mesh: Mesh, n: int):
+    return _cached(("bfs", id(mesh), n), lambda: _bfs_spmd(mesh, n))
+
+
 def _bfs_spmd(mesh: Mesh, n: int):
     """Build the sharded BFS program for an n-row (padded) matrix."""
 
@@ -82,7 +97,7 @@ def dist_bfs(A, s: int, mesh: Optional[Mesh] = None) -> np.ndarray:
     if isinstance(A, Matrix):
         A = distribute(A, mesh or make_mesh(), square=True)
     n = A.pattern.shape[1]
-    prog = _bfs_spmd(A.mesh, n)
+    prog = _bfs_spmd_cached(A.mesh, n)
     v = prog(A.pattern, jnp.int32(s))
     return np.asarray(v)[:A.nrows]
 
@@ -110,18 +125,23 @@ def bfs_step_sharded(mesh: Mesh):
 # PageRank: damped power iteration, fori_loop of psum-SpMV
 # ---------------------------------------------------------------------------
 
-def _pagerank_spmd(mesh: Mesh, iters: int):
+def _pagerank_spmd(mesh: Mesh, iters: int, n: int):
     def local(Cv, r0, a_scalar):
         blk = Cv.shape[0]
+        n_pad = Cv.shape[1]
         di = jax.lax.axis_index("i")
         row0 = di * blk
+        # zero the padded lanes after the teleport add, else jnp.sum(r)
+        # counts phantom teleport mass on non-divisible n
+        valid = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0] < n
 
         def body(_, r):
             s = a_scalar * jnp.sum(r)
             rblk = jax.lax.dynamic_slice(0.85 * r, (row0,), (blk,))
             part = jnp.matmul(rblk[None, :], Cv,
                               preferred_element_type=Cv.dtype)[0]
-            return jax.lax.psum(part, "i") + s
+            r = jax.lax.psum(part, "i") + s
+            return jnp.where(valid, r, 0)
 
         return jax.lax.fori_loop(0, iters, body, r0)
 
@@ -142,7 +162,8 @@ def dist_pagerank(A, iters: int = 20,
         D = A
     n_pad = D.pattern.shape[1]
     n = D.nrows
-    prog = _pagerank_spmd(D.mesh, iters)
+    prog = _cached(("pagerank", id(D.mesh), iters, n),
+                   lambda: _pagerank_spmd(D.mesh, iters, n))
     r0 = jnp.full((n_pad,), 1.0 / n, jnp.asarray(D.values).dtype)
     r0 = jnp.where(jnp.arange(n_pad) < n, r0, 0.0)
     r = prog(D.values, r0, jnp.asarray((1 - 0.85) / n,
@@ -205,6 +226,7 @@ def dist_tricount(A, mesh: Optional[Mesh] = None) -> int:
              (0, Ld.pattern.shape[1] - U.ncols))), rep)
     else:
         raise TypeError("dist_tricount expects a Matrix")
-    prog = _tricount_spmd(mesh)
+    prog = _cached(("tricount", id(mesh)),
+                   lambda: _tricount_spmd(mesh))
     total = prog(Ld.pattern, Up)
     return int(np.asarray(total)[0])

@@ -135,11 +135,21 @@ def collect(D):
 def _vxm_shard_fn(sr: Semiring):
     def fn(uv, up, Av, Ap):
         # local partial: u_shard' * A_block  -> [1, ncols]
-        tv, tp, _ = semiring_mm(sr, jax.tree_util.tree_map(
+        tv, tp_loc, _ = semiring_mm(sr, jax.tree_util.tree_map(
             lambda a: a[None, :], uv), up[None, :], Av, Ap)
+        # semiring_mm zeroes absent values; refill with the add identity
+        # so shards without a local contribution cannot poison MIN/MAX/
+        # LAND combines (0 is not their identity)
+        ident = sr.add.identity_array(())
+        if sr.ztype.is_udt:
+            tv = jax.tree_util.tree_map(
+                lambda a, i: jnp.where(tp_loc, a, jnp.asarray(i, a.dtype)),
+                tv, ident)
+        else:
+            tv = jnp.where(tp_loc, tv, jnp.asarray(ident, tv.dtype))
         # combine partials across row shards.  For MXU semirings the
         # pattern-OR + monoid-sum both reduce with psum-style collectives.
-        tp = jax.lax.psum(tp.astype(jnp.int32), "i") > 0
+        tp = jax.lax.psum(tp_loc.astype(jnp.int32), "i") > 0
         tv = _monoid_psum(sr, tv)
         tv = jax.tree_util.tree_map(
             lambda a: jnp.where(tp, a, jnp.zeros_like(a)), tv)
@@ -215,34 +225,49 @@ def _mxm_shard_fn(sr: Semiring):
     return fn
 
 
+_PROG_CACHE = {}
+
+
+def _cached_prog(key, build):
+    f = _PROG_CACHE.get(key)
+    if f is None:
+        f = build()
+        _PROG_CACHE[key] = f
+    return f
+
+
 def dist_mxm(sr: Semiring, A: DistMatrix, B: DistMatrix,
              M: Optional[DistMatrix] = None, complement: bool = False,
-             structural: bool = True) -> DistMatrix:
+             structural: bool = False) -> DistMatrix:
     """C<M> = A *.sr B with row-sharded A/M/C; B is all-gathered once.
 
-    The effective mask (pattern, or pattern & value per GB_spec_mask)
-    fuses into the per-device block product rather than the reference's
+    The effective mask (pattern & value by default, pattern-only with
+    ``structural=True`` — same default as the single-chip path) fuses
+    into the per-device block product rather than the reference's
     separate GB_mask post-pass."""
     mesh = A.mesh
+    out_shape = (A.pattern.shape[0], B.pattern.shape[1])
     if M is not None:
         emask = M.pattern if (structural or M.type.is_udt) else \
             (M.pattern & (M.values != 0))
         if complement:
             emask = ~emask
     else:
-        emask = jnp.ones_like(A.pattern) if not complement else \
-            jnp.zeros_like(A.pattern)
-    f = shard_map(
-        _mxm_shard_fn(sr), mesh=mesh,
-        in_specs=(P("i", None), P("i", None), P(None, None), P(None, None),
-                  P("i", None)),
-        out_specs=(P("i", None), P("i", None)))
+        ones = jnp.ones(out_shape, bool)
+        emask = ones if not complement else ~ones
+    f = _cached_prog(
+        ("mxm", sr.name, id(sr.mult.fn), id(mesh)),
+        lambda: jax.jit(shard_map(
+            _mxm_shard_fn(sr), mesh=mesh,
+            in_specs=(P("i", None), P("i", None), P(None, None),
+                      P(None, None), P("i", None)),
+            out_specs=(P("i", None), P("i", None)))))
     # B replicated: device_put with replicated sharding (all_gather at
     # the jit boundary, riding ICI)
     rep = NamedSharding(mesh, P(None, None))
     Bv = jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), B.values)
     Bp = jax.device_put(B.pattern, rep)
-    tv, tp = jax.jit(f)(A.values, A.pattern, Bv, Bp, emask)
+    tv, tp = f(A.values, A.pattern, Bv, Bp, emask)
     return DistMatrix(tv, tp, sr.ztype, mesh, A.nrows, B.ncols, A.spec)
 
 
@@ -277,10 +302,13 @@ def dist_mxm_summa(sr: Semiring, A: DistMatrix, B: DistMatrix
     """C = A *.sr B on a 2-D ("i","j") mesh: C[i,j] block computed from
     A's row panel i and B's column panel j (one all_gather per axis)."""
     mesh = A.mesh
-    f = shard_map(_summa_shard_fn(sr), mesh=mesh,
-                  in_specs=(P("i", "j"), P("i", "j"), P("i", "j"),
-                            P("i", "j")),
-                  out_specs=(P("i", "j"), P("i", "j")))
-    tv, tp = jax.jit(f)(A.values, A.pattern, B.values, B.pattern)
+    f = _cached_prog(
+        ("summa", sr.name, id(sr.mult.fn), id(mesh)),
+        lambda: jax.jit(shard_map(
+            _summa_shard_fn(sr), mesh=mesh,
+            in_specs=(P("i", "j"), P("i", "j"), P("i", "j"),
+                      P("i", "j")),
+            out_specs=(P("i", "j"), P("i", "j")))))
+    tv, tp = f(A.values, A.pattern, B.values, B.pattern)
     return DistMatrix(tv, tp, sr.ztype, mesh, A.nrows, B.ncols,
                       P("i", "j"))

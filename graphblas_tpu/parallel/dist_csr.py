@@ -114,14 +114,24 @@ def _local_spmv(indices, locrow, values, x_ext, blk):
     return y[None]
 
 
-def _mxv_prog(mesh: Mesh, blk: int, gather_out: bool):
+_PROG_CACHE = {}
+
+
+def _mxv_prog(mesh: Mesh, blk: int):
+    key = (id(mesh), blk)
+    f = _PROG_CACHE.get(key)
+    if f is not None:
+        return f
+
     def local(rowptr, indices, locrow, values, x_ext):
         y = _local_spmv(indices, locrow, values, x_ext, blk)
         return y
-    return jax.jit(shard_map(
+    f = jax.jit(shard_map(
         local, mesh=mesh,
         in_specs=(P("i", None),) * 4 + (P(),),
         out_specs=P("i", None)))
+    _PROG_CACHE[key] = f
+    return f
 
 
 def dist_csr_mxv(D: DistCsr, x) -> jnp.ndarray:
@@ -129,7 +139,7 @@ def dist_csr_mxv(D: DistCsr, x) -> jnp.ndarray:
     slabs, padded length), zero collectives."""
     x = jnp.asarray(x, jnp.float32)
     x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
-    prog = _mxv_prog(D.mesh, D.blk, False)
+    prog = _mxv_prog(D.mesh, D.blk)
     y = prog(D.rowptr, D.indices, D.locrow, D.values, x_ext)
     return y.reshape(-1)[:D.nrows]
 

@@ -191,14 +191,52 @@ def masked_mxm(M, A, B, semiring=None, T: int = TILE,
 
     Av, Apat, At = to_np(A)
     Bv, Bpat, Bt = to_np(B)
-    counting = (At.is_bool and Bt.is_bool) or semiring is None or \
-        (semiring is not None and semiring.mult.name in ("LAND", "PAIR")
-         and semiring.add.op.name == "PLUS")
+    # dispatch: which algebra does the tile engine run?
+    #   None           -> structural pair counts (INT32)
+    #   PLUS_PAIR      -> structural pair counts (INT32)
+    #   PLUS_LAND      -> truthy pair counts (INT32)
+    #   LOR_LAND       -> truthy reachability (BOOL)
+    #   PLUS_TIMES     -> float product (FP32)
+    # anything else is not tile-expressible here — raise rather than
+    # silently computing a different semiring (use gb.mxm instead).
+    if semiring is None:
+        mode = "count_structural"
+    else:
+        pair = (semiring.add.op.name, semiring.mult.name)
+        if semiring.ztype.is_bool:
+            # boolean renames (GB_boolean_rename): PLUS≡MAX≡LOR,
+            # TIMES≡MIN≡LAND on bool
+            ren = {"PLUS": "LOR", "MAX": "LOR", "TIMES": "LAND",
+                   "MIN": "LAND"}
+            pair = (ren.get(pair[0], pair[0]), ren.get(pair[1], pair[1]))
+        if pair == ("PLUS", "TIMES"):
+            mode = "values"
+        elif pair == ("PLUS", "PAIR"):
+            mode = "count_structural"
+        elif pair == ("PLUS", "LAND"):
+            mode = "count_truthy"
+        elif pair in (("LOR", "LAND"), ("LOR", "PAIR")):
+            mode = "bool"
+        else:
+            raise NotImplementedError(
+                f"semiring {pair} is not expressible on the BSR tile "
+                f"engine; use gb.mxm (bitmap backend) instead")
+    # keep the structural pattern for the output (GraphBLAS: the result
+    # pattern is the structural product, even when values reduce over
+    # truthy pairs only)
+    Apat_struct, Bpat_struct = Apat, Bpat
+    if mode in ("count_truthy", "bool") and Av is not None:
+        Apat = Apat & (Av != 0)
+        Bpat = Bpat & (Bv != 0)
     Apt = tile_pattern(Apat, T)
     Bpt = tile_pattern(Bpat.T, T)
+    Apt_s = (Apt if Apat is Apat_struct
+             else tile_pattern(Apat_struct, T))
+    Bpt_s = (Bpt if Bpat is Bpat_struct
+             else tile_pattern(Bpat_struct.T, T))
     if M is None:
         Mpat = np.ones((Apat.shape[0], Bpat.shape[1]), bool)
-        grid_out = np.einsum("ik,jk->ij", Apt.grid, Bpt.grid) > 0
+        grid_out = np.einsum("ik,jk->ij", Apt_s.grid, Bpt_s.grid) > 0
         ones = jnp.ones((1, T, T), jnp.int8)
         Mt_tiles = TilePattern(
             ones, grid_out, np.zeros(grid_out.shape, np.int32),
@@ -206,26 +244,33 @@ def masked_mxm(M, A, B, semiring=None, T: int = TILE,
     else:
         Mv, Mpat, _ = to_np(M)
         Mt_tiles = tile_pattern(Mpat, T)
-    # structural pattern of T = positions with >= 1 contributing pair
-    # (keeps explicit-zero vs absent parity with the spec: the result's
-    # pattern is M ∩ pattern(A·B'), not all of M)
-    Cnt, outs = bsr_masked_mm_pallas(Mt_tiles, Apt, Bpt, jnp.int32,
-                                     interpret)
-    if counting and (semiring is None or At.is_bool):
-        C = Cnt
-        out_t = INT32
-        record_axb_method("pallas:bsr_count")
-    else:
+    # structural pattern of T = positions with >= 1 contributing pair of
+    # PRESENT entries (keeps explicit-zero vs absent parity: the result
+    # pattern is M ∩ structural-pattern(A·B'), even when the values
+    # reduce over truthy pairs only)
+    Cnt_s, outs = bsr_masked_mm_pallas(Mt_tiles, Apt_s, Bpt_s, jnp.int32,
+                                       interpret)
+    if mode == "values":
         Ap = tile_matrix(Av, Apat, T, np.float32)
         Bp = tile_matrix(Bv.T, Bpat.T, T, np.float32)
         C, outs = bsr_masked_mm_pallas(Mt_tiles, Ap, Bp, jnp.float32,
                                        interpret)
         out_t = FP32
         record_axb_method("pallas:bsr_values")
+    elif mode == "count_structural":
+        C = Cnt_s
+        out_t = INT32
+        record_axb_method("pallas:bsr_count")
+    else:  # count_truthy / bool: counts over truthy pairs
+        C, outs = bsr_masked_mm_pallas(Mt_tiles, Apt, Bpt, jnp.int32,
+                                       interpret)
+        out_t = INT32
+        record_axb_method("pallas:bsr_count")
     # reassemble the bitmap result on M ∩ structure(A·B')
+    from ..core.types import BOOL
     m, n = Mpat.shape
     Cnp = np.asarray(C)
-    Cntp = np.asarray(Cnt)
+    Cntp = np.asarray(Cnt_s)
     Tm = Mt_tiles.grid.shape[0] * T
     Tn = Mt_tiles.grid.shape[1] * T
     Cn = np.zeros((Tm, Tn), Cnp.dtype)
@@ -235,5 +280,7 @@ def masked_mxm(M, A, B, semiring=None, T: int = TILE,
         Sp[I * T:(I + 1) * T, J * T:(J + 1) * T] = Cntp[t_] > 0
     Cn = Cn[:m, :n]
     pat = Mpat & Sp[:m, :n]
+    if mode == "bool":
+        return Matrix(jnp.asarray(pat & (Cn > 0)), jnp.asarray(pat), BOOL)
     return Matrix(jnp.asarray(np.where(pat, Cn, 0)),
                   jnp.asarray(pat), out_t)

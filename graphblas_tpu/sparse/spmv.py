@@ -97,8 +97,13 @@ def _csr_mxv_jit(add_name: str, sr: Semiring, nrows: int, avals, cols,
 def csr_mxv(sr: Semiring, A: CsrMatrix, x, x_pattern=None):
     """(yvals, ypat) = A *.sr* x.  x: dense [ncols] value array;
     ``x_pattern`` marks present entries (None = all present)."""
+    from ..core.types import cast as gbcast
     ident = sr.add.identity
-    x = jnp.asarray(x)
+    # cast operands into the semiring's domains (the bitmap path does
+    # this in _mxu_path; int-stored A with a float semiring must not
+    # truncate x)
+    x = gbcast(jnp.asarray(x), sr.ytype)
+    avals = gbcast(A.values, sr.xtype)
     if x_pattern is None:
         xp = jnp.ones(A.ncols, bool)
     else:
@@ -106,7 +111,6 @@ def csr_mxv(sr: Semiring, A: CsrMatrix, x, x_pattern=None):
     # identity slot for padded column indices (sentinel = ncols)
     x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
     xp_ext0 = jnp.concatenate([xp, jnp.zeros((1,), bool)])
-    avals = A.values
     y = _csr_mxv_jit(sr.add.op.name, sr, A.nrows, avals, A.indices,
                      A.rowids, x_ext, xp_ext0, ident)
     # pattern: rows with >= 1 structural contribution

@@ -159,3 +159,55 @@ def test_dist_csr_bfs(mesh):
     want = models.bfs_jit(A, 0)
     got = par.dist_csr_bfs(A, 0, mesh)
     assert np.array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# regression tests for review findings
+# ---------------------------------------------------------------------------
+
+def test_dist_vxm_min_plus_identity_combine(mesh):
+    # a column whose only contribution lives on one shard must not be
+    # poisoned by other shards' zero-filled absent partials
+    n = 16
+    Ap = np.zeros((n, n), bool)
+    Ap[0, 5] = True          # only shard 0 contributes to column 5
+    Ad = np.where(Ap, 5.0, 0.0)
+    A = gb.Matrix.from_dense(Ad, gb.FP64, pattern=Ap)
+    u = gb.Vector.from_dense(np.full(n, 1.0))
+    sr = semiring.min_plus[gb.FP64]
+    want = gb.vxm(gb.Vector.new(gb.FP64, n), None, None, sr, u, A)
+    du = par.distribute(u, mesh, spec=par.P("i"))
+    D = par.distribute(A, mesh)
+    got = par.collect(par.dist_vxm(sr, du, D))
+    assert got.extractElement(5) == want.extractElement(5) == 6.0
+
+
+def test_dist_pagerank_nondivisible_n(mesh):
+    from graphblas_tpu import models
+    A = _random_graph(37, 0.2, 30)  # 37 % 8 != 0
+    want = models.pagerank_jit(A, iters=20)
+    got = par.dist_pagerank(A, iters=20, mesh=mesh)
+    assert np.allclose(got, want, atol=1e-10)
+
+
+def test_dist_mxm_valued_mask_and_rectangular(mesh):
+    # valued mask: explicit zeros in M suppress output (default path)
+    n = 16
+    rng = np.random.default_rng(31)
+    A = _random_graph(n, 0.4, 31)
+    Mv = rng.integers(0, 2, (n, n)).astype(np.float64)
+    Mp = np.ones((n, n), bool)
+    M = gb.Matrix.from_dense(Mv, gb.FP64, pattern=Mp)
+    want = gb.mxm(gb.Matrix.new(gb.FP64, n, n), M, None,
+                  semiring.plus_times[gb.FP64], A, A)
+    D = par.distribute(A, mesh)
+    DM = par.distribute(M, mesh)
+    got = par.collect(par.dist_mxm(semiring.plus_times[gb.FP64], D, D,
+                                   M=DM))
+    assert np.array_equal(got.pattern_np(), want.pattern_np())
+    assert np.allclose(got.to_dense(), want.to_dense())
+    # rectangular unmasked product must not shape-error
+    B = gb.Matrix.from_dense(np.random.default_rng(32).random((n, 24)))
+    DB = par.distribute(B, mesh, spec=par.P(None, None))
+    got2 = par.collect(par.dist_mxm(semiring.plus_times[gb.FP64], D, DB))
+    assert got2.shape == (n, 24)

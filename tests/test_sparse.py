@@ -386,3 +386,38 @@ def test_unmasked_bsr_spgemm():
     Cc = sp.masked_mxm(None, Ab, Ab)
     cnt = (mask.astype(np.int64) @ mask)
     assert np.array_equal(Cc.to_dense(), cnt.astype(np.int32))
+
+
+def test_csr_mxv_int_matrix_float_semiring():
+    # int-stored A with a float semiring must not truncate x
+    I, J = [0, 1], [0, 1]
+    A = sp.CsrMatrix.from_coo(I, J, np.array([2, 3]), 2, 2,
+                              type=gb.INT32)
+    x = np.array([0.5, 0.25])
+    y, yp = sp.csr_mxv(semiring.plus_times[gb.FP64], A, jnp.asarray(x))
+    assert np.allclose(np.asarray(y), [1.0, 0.75])
+
+
+def test_masked_mxm_rejects_unsupported_semiring():
+    A = gb.Matrix.from_dense(np.ones((4, 4), np.float32), gb.FP32)
+    with pytest.raises(NotImplementedError):
+        sp.masked_mxm(None, A, A, semiring=semiring.min_plus[gb.FP32])
+
+
+def test_masked_mxm_truthy_counts_and_bool():
+    # explicit zeros must not count as truthy pairs for PLUS_LAND
+    n = 4
+    Av = np.array([[0.0, 2.0], [3.0, 0.0]])
+    Ap = np.ones((2, 2), bool)      # all present, two explicit zeros
+    A = gb.Matrix.from_dense(Av, gb.FP64, pattern=Ap)
+    C = sp.masked_mxm(None, A, A,
+                      semiring=semiring.plus_land[gb.INT32])
+    want = gb.mxm(gb.Matrix.new(gb.INT32, 2, 2), None, None,
+                  semiring.plus_land[gb.INT32], A, A)
+    assert np.array_equal(C.to_dense(), want.to_dense())
+    Cb = sp.masked_mxm(None, A, A,
+                       semiring=semiring.lor_land[gb.BOOL])
+    wantb = gb.mxm(gb.Matrix.new(gb.BOOL, 2, 2), None, None,
+                   semiring.lor_land[gb.BOOL], A, A)
+    assert np.array_equal(Cb.to_dense(), wantb.to_dense())
+    assert np.array_equal(Cb.pattern_np(), wantb.pattern_np())
