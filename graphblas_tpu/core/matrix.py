@@ -54,6 +54,23 @@ _REDUCEAT_OPS = {
 }
 
 
+def _cast_array_np(X: np.ndarray, t: Type) -> np.ndarray:
+    """Vectorized host-side cast matching cast_value's semantics (a
+    Python-level per-element loop is minutes on 10M-edge builds)."""
+    if t.is_bool:
+        return X != 0
+    if t.is_integer and np.issubdtype(X.dtype, np.floating):
+        info = np.iinfo(t.dtype)
+        x = np.where(np.isnan(X), 0.0, X)
+        tr = np.trunc(x)
+        hi, lo = float(info.max), float(info.min)
+        out = np.where((tr < hi) & (tr > lo), tr, 0).astype(t.dtype)
+        out = np.where(tr >= hi, np.asarray(info.max, t.dtype), out)
+        out = np.where(tr <= lo, np.asarray(info.min, t.dtype), out)
+        return out
+    return X.astype(t.dtype)
+
+
 def _fold_duplicates(dup: BinaryOp, Xs: np.ndarray, starts: np.ndarray,
                      t: Type) -> np.ndarray:
     """Fold each sorted run Xs[starts[k]:starts[k+1]] with the dup op."""
@@ -157,37 +174,101 @@ class _Base:
 
     # -- pending tuples (non-blocking mode) --------------------------------------
     def wait(self):
-        """Assemble pending tuples (reference ``GB_wait`` / ``GrB_wait``)."""
+        """Assemble pending tuples (reference ``GB_wait`` / ``GrB_wait``).
+
+        Consecutive tuples sharing an accum op are folded host-side
+        (duplicates combined in input order, assuming the accum is
+        associative like GB_builder's dup assembly) and land in ONE
+        batched gather/scatter — not one dispatch per tuple.
+        """
         if not self._pending:
             return self
         vals, pat = self.values, self.pattern
         tmap = jax.tree_util.tree_map
-        # group pending tuples into one scatter per accum op, preserving order
+        udt = self.type.is_udt
+        is_vec = pat.ndim == 1
+
+        # group consecutive same-accum runs
+        runs: List[Tuple] = []
         for (idx, scalar, accum) in self._pending:
-            s = tmap(jnp.asarray, cast_value(scalar, self.type))
-            present = pat[idx]
-            if accum is None or isinstance(accum, str):
-                newv = s
+            if isinstance(accum, str):
+                accum = None
+            if runs and runs[-1][0] is accum:
+                runs[-1][1].append((idx, scalar))
             else:
-                if self.type.is_udt:
-                    newv = tmap(lambda a, b: jnp.where(present, a, b),
-                                accum(tmap(lambda v: v[idx], vals), s), s)
-                else:
-                    newv = jnp.where(present, accum(vals[idx], s), s)
-            if self.type.is_udt:
-                vals = tmap(lambda v, nv: v.at[idx].set(
-                    jnp.asarray(nv, v.dtype)), vals, newv)
+                runs.append((accum, [(idx, scalar)]))
+
+        for accum, tuples in runs:
+            if udt or len(tuples) == 1:
+                # UDT / singleton: the simple per-tuple path
+                for idx, scalar in tuples:
+                    s = tmap(jnp.asarray, cast_value(scalar, self.type))
+                    present = pat[idx]
+                    if accum is None:
+                        newv = s
+                    elif udt:
+                        newv = tmap(lambda a, b: jnp.where(present, a, b),
+                                    accum(tmap(lambda v: v[idx], vals),
+                                          s), s)
+                    else:
+                        newv = jnp.where(present, accum(vals[idx], s), s)
+                    if udt:
+                        vals = tmap(lambda v, nv: v.at[idx].set(
+                            jnp.asarray(nv, v.dtype)), vals, newv)
+                    else:
+                        vals = vals.at[idx].set(
+                            jnp.asarray(newv, vals.dtype))
+                    pat = pat.at[idx].set(True)
+                continue
+            # batched run: fold duplicates in input order, one scatter
+            idxs = [t[0] for t in tuples]
+            xs = np.asarray([cast_value(t[1], self.type)
+                             for t in tuples], dtype=self.type.dtype)
+            if is_vec:
+                lin = np.asarray([int(i) for i in idxs], np.int64)
+                key = lin
             else:
-                vals = vals.at[idx].set(jnp.asarray(newv, vals.dtype))
-            pat = pat.at[idx].set(True)
+                ii = np.asarray([int(i) for i, _ in idxs], np.int64)
+                jj = np.asarray([int(j) for _, j in idxs], np.int64)
+                key = ii * pat.shape[1] + jj
+            order = np.argsort(key, kind="stable")
+            key_s, xs_s = key[order], xs[order]
+            first = np.ones(len(key_s), bool)
+            first[1:] = key_s[1:] != key_s[:-1]
+            starts = np.nonzero(first)[0]
+            if accum is None:
+                # last write wins per index
+                ends = np.append(starts[1:], len(xs_s)) - 1
+                folded = xs_s[ends]
+            else:
+                folded = _fold_duplicates(accum, xs_s, starts, self.type)
+            ku = key_s[starts]
+            if is_vec:
+                tgt = (jnp.asarray(ku),)
+            else:
+                tgt = (jnp.asarray(ku // pat.shape[1]),
+                       jnp.asarray(ku % pat.shape[1]))
+            fold_d = jnp.asarray(folded)
+            if accum is None:
+                newv = fold_d
+            else:
+                present = pat[tgt]
+                newv = jnp.where(present, accum(vals[tgt], fold_d),
+                                 fold_d)
+            vals = vals.at[tgt].set(jnp.asarray(newv, vals.dtype))
+            pat = pat.at[tgt].set(True)
         return self._replace(values=vals, pattern=pat, pending=[]).canonical()
 
     # -- element access ------------------------------------------------------------
     def setElement(self, value, *index, accum: Optional[BinaryOp] = None,
-                   blocking: bool = True):
+                   blocking: Optional[bool] = None):
         """Functional setElement.  With ``blocking=False`` the update is
         appended to the pending-delta buffer (reference ``GB_setElement`` ->
-        ``GB_pending_add``) and folded in by :meth:`wait`."""
+        ``GB_pending_add``) and folded in by :meth:`wait`.  The default
+        follows the global mode (``GrB_init(GrB_NONBLOCKING)``)."""
+        if blocking is None:
+            from .options import BLOCKING, global_options
+            blocking = global_options().mode == BLOCKING
         idx = index if len(index) > 1 else index[0]
         out = self._replace(pending=self._pending + [(idx, value, accum)])
         return out.wait() if blocking else out
@@ -268,6 +349,12 @@ class Matrix(_Base):
         J = np.asarray(J, dtype=np.int64)
         X = np.asarray(X)
         t = type or type_of_dtype(X.dtype)
+        if t.is_udt:
+            raise TypeError(
+                "Matrix.from_coo does not assemble struct (UDT) tuples; "
+                "build with Matrix.new(type, m, n) + setElement(..., "
+                "blocking=False) + wait(), or from_dense with a dict of "
+                "field arrays")
         if I.size and (I.min() < 0 or I.max() >= nrows or
                        J.min() < 0 or J.max() >= ncols):
             raise IndexOutOfBounds(f"tuple index out of range for "
@@ -280,8 +367,8 @@ class Matrix(_Base):
             # (the GB_builder qsort + GB_build_factory dup-fold, vectorized)
             order = np.lexsort((J, I))
             Is, Js, Xs = I[order], J[order], X[order]
-            Xs = np.asarray([cast_value(x, t) for x in Xs.tolist()],
-                            dtype=t.dtype) if Xs.dtype != t.dtype else Xs
+            if Xs.dtype != t.dtype:
+                Xs = _cast_array_np(Xs, t)
             lin = Is * ncols + Js
             first = np.ones(len(lin), dtype=bool)
             first[1:] = lin[1:] != lin[:-1]

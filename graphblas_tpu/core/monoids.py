@@ -66,9 +66,16 @@ class Monoid:
             return jnp.sum(x, axis=axis, dtype=x.dtype)
         if nm == "TIMES" and not t.is_bool:
             return jnp.prod(x, axis=axis, dtype=x.dtype)
+        # MIN/MAX ignore NaN (fmin/fmax semantics, matching binary.min/
+        # max and the reference's fminf-based monoids) — jnp.nanmin on
+        # floats, plain min/max on ints/bool
         if nm == "MIN" or (nm in ("LAND", "TIMES") and t.is_bool):
+            if t.is_float:
+                return jnp.nanmin(x, axis=axis)
             return jnp.min(x, axis=axis)
         if nm == "MAX" or (nm in ("LOR", "PLUS") and t.is_bool):
+            if t.is_float:
+                return jnp.nanmax(x, axis=axis)
             return jnp.max(x, axis=axis)
         if nm == "LOR":
             return jnp.max(x, axis=axis)

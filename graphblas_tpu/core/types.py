@@ -175,11 +175,22 @@ def cast(x: jnp.ndarray, to_type: Type) -> jnp.ndarray:
         # compiler (GB_CAST, GB.h:2900-2948); we pick saturation because
         # it is deterministic and identical on host (cast_value) and
         # device (XLA convert semantics vary by backend).
+        #
+        # Threshold compares (not clip): float(int64 max) rounds UP to
+        # 2^63, so clipping to it passes out-of-range values through the
+        # convert.  Every representable float strictly below the rounded
+        # bound is <= the true max, so >=/<= saturation is exact even
+        # when the bound itself is not representable.
         info = np.iinfo(dst)
         x = jnp.where(jnp.isnan(x), 0, x)
         t = jnp.trunc(x)
-        t = jnp.clip(t, float(info.min), float(info.max))
-        return t.astype(dst)
+        hi = jnp.asarray(float(info.max), t.dtype)
+        lo = jnp.asarray(float(info.min), t.dtype)
+        in_range = (t < hi) & (t > lo)
+        conv = jnp.where(in_range, t, 0).astype(dst)
+        conv = jnp.where(t >= hi, jnp.asarray(info.max, dst), conv)
+        conv = jnp.where(t <= lo, jnp.asarray(info.min, dst), conv)
+        return conv
     return x.astype(dst)
 
 

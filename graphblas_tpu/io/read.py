@@ -85,13 +85,16 @@ def read_matrix(source,
     I, J, X = read_triplets(source)
     if one_based:
         I, J = I - 1, J - 1
-    if no_self_edges:
-        keep = I != J
-        I, J, X = I[keep], J[keep], X[keep]
+    # dims first, then prune — and never prune for the rectangular
+    # bipartite case, where (i,i) is not a self edge of [0 C; C' 0]
+    # (read_matrix.c:140-187)
     if nrows is None:
         nrows = int(I.max()) + 1 if I.size else 0
     if ncols is None:
         ncols = int(J.max()) + 1 if J.size else 0
+    if no_self_edges and not (make_symmetric and nrows != ncols):
+        keep = I != J
+        I, J, X = I[keep], J[keep], X[keep]
     if boolean:
         t, dup = BOOL, binary.lor[BOOL]
         X = X != 0

@@ -96,28 +96,31 @@ def random_matrix(nrows: int, ncols: int, ntuples: int,
                   make_symmetric: bool = False, no_self_edges: bool = False,
                   boolean: bool = False, method: int = 0,
                   seed: int = 1) -> Matrix:
-    """Random matrix with ~ntuples entries (reference
-    ``random_matrix.c``): indices i = rand_i % nrows, j = rand_i % ncols,
-    x = rand_x, duplicates summed (OR'd when boolean)."""
+    """Random matrix with ~ntuples entries, bit-matching the reference's
+    ``random_matrix.c:148-173``: per draw i = rand_i % nrows,
+    j = rand_i % ncols; a skipped self edge consumes NO value draw; the
+    symmetric twin (j,i) reuses x; duplicates assembled with SECOND
+    (last write wins, ``GrB_SECOND_FP64``)."""
     rng = SimpleRand(seed)
-    I = np.empty(ntuples, dtype=np.int64)
-    J = np.empty(ntuples, dtype=np.int64)
-    X = np.empty(ntuples, dtype=np.float64)
-    for k in range(ntuples):
-        I[k] = rng.rand_i() % np.uint64(nrows)
-        J[k] = rng.rand_i() % np.uint64(ncols)
-        X[k] = rng.rand_x()
-    if no_self_edges:
-        keep = I != J
-        I, J, X = I[keep], J[keep], X[keep]
-    if make_symmetric:
-        off = np.ones(len(I), bool)
-        I2 = np.concatenate([I, J])
-        J2 = np.concatenate([J, I])
-        X2 = np.concatenate([X, X])
-        I, J, X = I2, J2, X2
+    I, J, X = [], [], []
+    for _ in range(ntuples):
+        i = int(rng.rand_i() % np.uint64(nrows))
+        j = int(rng.rand_i() % np.uint64(ncols))
+        if no_self_edges and i == j:
+            continue
+        x = rng.rand_x()
+        I.append(i)
+        J.append(j)
+        X.append(x)
+        if make_symmetric:
+            I.append(j)
+            J.append(i)
+            X.append(x)
+    I = np.asarray(I, np.int64)
+    J = np.asarray(J, np.int64)
+    X = np.asarray(X, np.float64)
     if boolean:
         return Matrix.from_coo(I, J, X != 0, nrows, ncols, type=BOOL,
-                               dup=binary.lor[BOOL])
+                               dup=binary.second[BOOL])
     return Matrix.from_coo(I, J, X, nrows, ncols, type=FP64,
-                           dup=binary.plus[FP64])
+                           dup=binary.second[FP64])

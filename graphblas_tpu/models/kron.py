@@ -23,9 +23,11 @@ from ..core.types import FP64
 __all__ = ["kron_tuples", "kron_submatrix", "kron_generate"]
 
 
-def kron_tuples(IA, JA, XA, IB, JB, XB, bm: int, bn: int
+def kron_tuples(IA, JA, XA, IB, JB, XB, bm: int, bn: int,
+                op: Optional[BinaryOp] = None
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """All |A|*|B| Kronecker tuples, vectorized (the per-shard compute)."""
+    """All |A|*|B| Kronecker tuples, vectorized (the per-shard compute).
+    ``op`` is the GxB_kron multiply operator (default TIMES)."""
     IA = np.asarray(IA, np.int64)[:, None]
     JA = np.asarray(JA, np.int64)[:, None]
     XA = np.asarray(XA, np.float64)[:, None]
@@ -34,18 +36,27 @@ def kron_tuples(IA, JA, XA, IB, JB, XB, bm: int, bn: int
     XB = np.asarray(XB, np.float64)[None, :]
     I = (IA * bm + IB).reshape(-1)
     J = (JA * bn + JB).reshape(-1)
-    X = (XA * XB).reshape(-1)
+    if op is None or op.name == "TIMES":
+        X = (XA * XB).reshape(-1)
+    else:
+        import jax
+        import jax.numpy as jnp
+        X = np.asarray(jax.device_get(op(
+            jnp.asarray(np.broadcast_to(XA, (XA.shape[0], XB.shape[1]))),
+            jnp.asarray(np.broadcast_to(XB, (XA.shape[0], XB.shape[1])))
+        ))).reshape(-1)
     return I, J, X
 
 
 def kron_submatrix(IA, JA, XA, IB, JB, XB, bm: int, bn: int,
-                   pid: int, np_: int):
+                   pid: int, np_: int, op: Optional[BinaryOp] = None):
     """The pid-th of np_ shards: slice A's tuples contiguously
     (``kron_submatrix.c:138-141``) and expand against all of B."""
     ntuples = len(IA)
     lo = (pid * ntuples) // np_
     hi = ((pid + 1) * ntuples) // np_
-    return kron_tuples(IA[lo:hi], JA[lo:hi], XA[lo:hi], IB, JB, XB, bm, bn)
+    return kron_tuples(IA[lo:hi], JA[lo:hi], XA[lo:hi], IB, JB, XB,
+                       bm, bn, op=op)
 
 
 def kron_generate(A: Matrix, B: Matrix, nshards: int = 1,
@@ -58,7 +69,8 @@ def kron_generate(A: Matrix, B: Matrix, nshards: int = 1,
     IA, JA, XA = A.extractTuples()
     IB, JB, XB = B.extractTuples()
     bm, bn = B.nrows, B.ncols
-    parts = [kron_submatrix(IA, JA, XA, IB, JB, XB, bm, bn, p, nshards)
+    parts = [kron_submatrix(IA, JA, XA, IB, JB, XB, bm, bn, p, nshards,
+                            op=op)
              for p in range(nshards)]
     I = np.concatenate([p[0] for p in parts])
     J = np.concatenate([p[1] for p in parts])

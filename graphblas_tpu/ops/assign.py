@@ -55,9 +55,11 @@ def _scatter(C, Ii, Jj, sub):
 
 
 def _as_matrix(x, col: bool = True):
-    """Lift a Vector to an n x 1 (or 1 x n) Matrix view."""
+    """Lift a Vector to an n x 1 (or 1 x n) Matrix view (pending deltas
+    are folded first — the array view cannot carry them)."""
     if x is None or isinstance(x, Matrix):
         return x
+    x = x.wait()
     ax = (slice(None), None) if col else (None, slice(None))
     return Matrix(_tmap(lambda a: a[ax], x.values), x.pattern[ax], x.type)
 

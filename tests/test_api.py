@@ -317,3 +317,85 @@ def test_masked_mxm_pattern_exactness():
     want = np.zeros_like(M)
     want[0, 0] = want[1, 1] = True
     assert np.array_equal(pat, want)
+
+
+# ---------------------------------------------------------------------------
+# second-round review regressions
+# ---------------------------------------------------------------------------
+
+def test_cast_64bit_saturation():
+    import jax.numpy as jnp
+    from graphblas_tpu.core.types import cast, cast_value
+    x = jnp.asarray([1e19, -1e19, 2.0**63, 5.0])
+    got = np.asarray(cast(x, gb.INT64))
+    assert got[0] == np.iinfo(np.int64).max
+    assert got[1] == np.iinfo(np.int64).min
+    assert got[2] == np.iinfo(np.int64).max
+    assert got[3] == 5
+    gotu = np.asarray(cast(jnp.asarray([2e19, -1.0]), gb.UINT64))
+    assert gotu[0] == np.iinfo(np.uint64).max
+    assert gotu[1] == 0
+    # f32 source into int32: bound rounds up in f32
+    y = jnp.asarray([2.14748365e9, -2.2e9, 7.0], jnp.float32)
+    got32 = np.asarray(cast(y, gb.INT32))
+    assert got32[0] == 2**31 - 1 and got32[1] == -(2**31)
+    assert got32[2] == 7
+    assert cast_value(1e19, gb.INT64) == np.iinfo(np.int64).max
+
+
+def test_monoid_minmax_ignore_nan():
+    v = gb.Vector.from_dense(np.array([np.nan, 5.0, 7.0]))
+    assert gb.reduce_to_scalar(None, gb.monoid.min[gb.FP64], v) == 5.0
+    assert gb.reduce_to_scalar(None, gb.monoid.max[gb.FP64], v) == 7.0
+
+
+def test_nonblocking_mode_default():
+    gb.init(gb.NONBLOCKING)
+    v = gb.Vector.new(gb.FP64, 4).setElement(1.5, 2)
+    assert v._pending                      # deferred under nonblocking
+    assert v.extractElement(2) == 1.5      # reads force completion
+    gb.init(gb.BLOCKING)
+    w = gb.Vector.new(gb.FP64, 4).setElement(2.5, 1)
+    assert not w._pending                  # folded immediately
+    gb.init()
+
+
+def test_wait_batched_many_tuples():
+    gb.init(gb.NONBLOCKING)
+    M = gb.Matrix.new(gb.FP64, 20, 20)
+    rng = np.random.default_rng(0)
+    want = np.zeros((20, 20))
+    for _ in range(200):
+        i, j = int(rng.integers(20)), int(rng.integers(20))
+        x = float(rng.normal())
+        M = M.setElement(x, i, j)          # no accum: last write wins
+        want[i, j] = x
+    M = M.wait()
+    pat = want != 0
+    assert np.allclose(M.to_dense()[pat], want[pat])
+    # accum run: duplicates fold in order
+    V = gb.Vector.new(gb.FP64, 5)
+    for x in (1.0, 2.0, 3.0):
+        V = V.setElement(x, 2, accum=gb.binary.plus[gb.FP64])
+    V = V.wait()
+    assert V.extractElement(2) == 6.0
+    gb.init()
+
+
+def test_from_coo_udt_raises():
+    from graphblas_tpu.core.types import Type
+    U = Type.udt("u2", a=gb.FP64)
+    with pytest.raises(TypeError):
+        gb.Matrix.from_coo([0], [0], [{"a": 1.0}], 2, 2, type=U)
+
+
+def test_kron_custom_op():
+    from graphblas_tpu import models
+    Ad = np.array([[2.0, 0.0], [0.0, 5.0]])
+    Bd = np.array([[3.0, 4.0]])
+    A = gb.Matrix.from_dense(Ad, gb.FP64, pattern=Ad != 0)
+    B = gb.Matrix.from_dense(Bd, gb.FP64, pattern=Bd != 0)
+    C = models.kron_generate(A, B, op=gb.binary.min[gb.FP64])
+    want = gb.kron(gb.Matrix.new(gb.FP64, 2, 4), None, None,
+                   gb.binary.min[gb.FP64], A, B)
+    assert np.allclose(C.to_dense(), want.to_dense())
