@@ -128,6 +128,9 @@ def ipagerank(A: Matrix, iters: int = 20,
     if two_z > RMAX:
         x = x * (two_z // RMAX)
     elif two_z < RMAX:
+        # bug-compatible with the reference: C's `x / (RMAX / 2*ZSCALE)`
+        # parses as x / ((RMAX/2)*ZSCALE) (ipagerank.c:121-126); the
+        # branch is dead at the default ZSCALE=2^30 where 2*ZSCALE==RMAX
         x = x // (RMAX // np.uint64(2) * ZSCALE)
     x = x // np.uint64(n)
     x = np.where(x == 0, np.uint64(1), x)
