@@ -62,15 +62,18 @@ def mis(A: Matrix, seed: int = 1, rng: Optional[SimpleRand] = None) -> Vector:
     last_nvals = nvals
     while nvals > 0:
         # prob<candidates> = mis_score(degrees): host-side draw of the
-        # reference's exact stream, device-side formula
+        # reference's exact stream.  GrB_apply computes op(degrees) for
+        # EVERY entry of degrees first and masks afterwards, so a draw
+        # is consumed for non-candidates too (mis.c:109-110) — the
+        # stream position only matches if we do the same.
         cand_np = candidates.pattern_np() & (candidates.to_dense() != 0)
         deg_np = np.asarray(degrees.values)
+        deg_pat = degrees.pattern_np()
         scores = np.zeros(n, np.float64)
-        # reference order: GrB_apply walks entries in CSR order
-        idx = np.nonzero(cand_np)[0]
+        idx = np.nonzero(deg_pat)[0]
         draws = rng.rand_x_batch(len(idx))
         scores[idx] = 0.0001 + draws / (1.0 + 2.0 * deg_np[idx])
-        prob = Vector.from_dense(scores, FP64,
+        prob = Vector.from_dense(np.where(cand_np, scores, 0.0), FP64,
                                  pattern=jnp.asarray(cand_np))
 
         # neighbor_max<candidates> = prob max.select1st A
@@ -107,8 +110,16 @@ def mis(A: Matrix, seed: int = 1, rng: Optional[SimpleRand] = None) -> Vector:
 
 
 def mis_check(A: Matrix, iset: Vector) -> bool:
-    """Verify independence + maximality (the demo's verification pass)."""
-    Ap = A.wait().pattern_np()
+    """Verify independence + maximality (the demo's verification pass).
+
+    Adjacency is VALUED, matching the algorithm's LAND semiring:
+    explicit false entries (files with 0-valued triplets, e.g.
+    fs_183_1) are not edges."""
+    A = A.wait()
+    Ap = A.pattern_np()
+    vals = A.to_dense()
+    if not isinstance(vals, dict):
+        Ap = Ap & (np.asarray(vals) != 0)
     s = np.zeros(A.nrows, bool)
     I, X = iset.extractTuples()
     s[I[np.asarray(X, bool)]] = True
