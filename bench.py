@@ -41,36 +41,22 @@ def main():
     Upn = np.triu(Apn, 1)
 
     # build the BSR decomposition + triple schedule (host; analogous to
-    # tri_prep, untimed in the reference's kernel-only number too)
+    # tri_prep, untimed in the reference's kernel-only number too) —
+    # via the library's shared schedule builder
     from graphblas_tpu.sparse import pallas_bsr as pb
     Lt = bsr.tile_pattern(Lpn)
     Ut = bsr.tile_pattern(Upn)
-    ga, gm = Lt.grid, Lt.grid
-    gb_ = Ut.grid
-    trip = gm[:, :, None] & ga[:, None, :] & gb_[None, :, :]
-    I, J, K = np.nonzero(trip)
-    outs = np.nonzero(gm)
-    nout = len(outs[0])
-    out_index = np.zeros(gm.shape, np.int32)
-    out_index[outs] = np.arange(nout, dtype=np.int32)
-    oid = out_index[I, J]
-    order = np.argsort(oid, kind="stable")
-    oid, I, J, K = oid[order], I[order], J[order], K[order]
-    counts = np.bincount(oid, minlength=nout)
-    starts = jnp.asarray(np.concatenate([[0], np.cumsum(counts)])
-                         .astype(np.int32))
-    kmax = int(counts.max())
-    ta = jnp.asarray(Lt.index[I, K], jnp.int32)
-    tb = jnp.asarray(Ut.index[J, K], jnp.int32)
-    Mtiles = jnp.take(Lt.tiles, jnp.asarray(
-        Lt.index[outs[0], outs[1]], jnp.int32), axis=0)
+    sched = pb.build_schedule(Lt, Lt, Ut)
+    assert sched is not None, "bench graph produced no tile triples"
+    starts, ta, tb, Mtiles, kmax, outs = sched
+    interp = jax.default_backend() == "cpu"
 
     @jax.jit
     def tri_kernel(Ltiles, Utiles, Mtiles):
         # Pallas BSR masked SpGEMM: int8 MXU tile products accumulated
         # in VMEM, mask fused (graphblas_tpu/sparse/pallas_bsr.py)
         C = pb._launch(starts, ta, tb, Ltiles, Utiles, Mtiles, kmax,
-                       False)
+                       interp)
         return jnp.sum(C)
 
     # correctness gate vs dense f64-BLAS oracle (exact below 2^53)

@@ -89,10 +89,13 @@ def GrB_error() -> str:
 
 
 def GrB_wait(*objs):
-    """Force completion of pending work (``GrB_wait()``).  With args,
-    waits those objects; the global-queue form is a no-op because
-    objects own their pending deltas."""
-    return tuple(o.wait() for o in objs) if objs else Info.SUCCESS
+    """Force completion of pending work (``GrB_wait()``).  One object
+    returns the waited object, several return a tuple; the no-arg
+    global-queue form is a no-op because objects own their deltas."""
+    if not objs:
+        return Info.SUCCESS
+    waited = tuple(o.wait() for o in objs)
+    return waited[0] if len(waited) == 1 else waited
 
 
 # -- object constructors ------------------------------------------------------
@@ -248,6 +251,17 @@ def GxB_subassign(C, M, accum, A, I=None, J=None, desc=None):
         return subassign_vector(C, M, accum, A, I, desc, scalar=True)
     if isinstance(A, Matrix):
         return subassign(C, M, accum, A, I, J, desc)
+    if isinstance(A, Vector):
+        # GxB_Row/Col_subassign: lift the vector to a 1-column (or
+        # 1-row) submatrix
+        from .ops.assign import _as_matrix
+        if isinstance(I, (int, np.integer)):       # row form: C(i,J) = u'
+            return subassign(C, _as_matrix(M, col=False) if M is not None
+                             else None, accum, _as_matrix(A, col=False),
+                             [I], J, desc)
+        return subassign(C, _as_matrix(M) if M is not None else None,
+                         accum, _as_matrix(A), I,
+                         [0 if J is None else J], desc)
     return subassign_scalar(C, M, accum, A, I, J, desc)
 
 
@@ -312,31 +326,45 @@ def GrB_Descriptor_new():
     return Descriptor()
 
 
+_DESC_FIELD = {GrB_OUTP: "replace", GrB_MASK: "mask_scmp",
+               GrB_INP0: "tran0", GrB_INP1: "tran1"}
+
+
 def GrB_Descriptor_set(desc, field, value):
-    mapping = {
-        (GrB_OUTP, GrB_REPLACE): {"replace": True},
-        (GrB_MASK, GrB_SCMP): {"mask_scmp": True},
-        (GrB_INP0, GrB_TRAN): {"tran0": True},
-        (GrB_INP1, GrB_TRAN): {"tran1": True},
-    }
     if field == GxB_AxB_METHOD:
         return desc.with_(axb_method=value)
-    kw = mapping.get((field, value))
-    if kw is None:
-        if value is GxB_DEFAULT:
-            return desc
+    attr = _DESC_FIELD.get(field)
+    if attr is None:
+        raise ValueError(f"unknown descriptor field {field!r}")
+    if value is GxB_DEFAULT:
+        return desc.with_(**{attr: False})   # reset to the default
+    ok = {(GrB_OUTP, GrB_REPLACE), (GrB_MASK, GrB_SCMP),
+          (GrB_INP0, GrB_TRAN), (GrB_INP1, GrB_TRAN)}
+    if (field, value) not in ok:
         raise ValueError(f"bad descriptor setting {field}={value}")
-    return desc.with_(**kw)
+    return desc.with_(**{attr: True})
 
 
-GxB_set = GrB_Descriptor_set
+def GxB_set(target, field, value=None):
+    """Polymorphic GxB_set: descriptor form (3 args) or global-option
+    form ``GxB_set(field, value)`` (2 args)."""
+    if isinstance(target, Descriptor):
+        return GrB_Descriptor_set(target, field, value)
+    set_option(target, field)   # (field, value) global form
+    return Info.SUCCESS
 
 
-def GxB_get(obj, field):
+def GxB_get(obj, field=None):
+    """Polymorphic GxB_get.  Descriptor -> field value; a field-name
+    string alone -> global option.  Matrix/Vector per-object options do
+    not exist in this design (no per-matrix format/hyper state), so the
+    global value IS the effective per-object value and is returned."""
     if isinstance(obj, Descriptor):
         return getattr(obj, {"outp": "replace", "mask": "mask_scmp",
                              "inp0": "tran0", "inp1": "tran1",
                              "axb_method": "axb_method"}[field])
+    if isinstance(obj, str) and field is None:
+        return get_option(obj)
     return get_option(field)
 
 

@@ -165,6 +165,23 @@ def ipagerank(A: Matrix, iters: int = 20,
 PAGERANK_TYPE = Type.udt("pagerank_type", rank=FP64, invdegree=FP64)
 
 
+def pagerank_ops():
+    """The PageRank UDT semiring's building blocks (mult, add, monoid,
+    semiring) — shared by :func:`dpagerank2` and the compile-time
+    user-object example (``user_objects.pagerank_semiring``)."""
+    mult = BinaryOp("PAGERANK_MULT", lambda x, y: {
+        "rank": jnp.where(jnp.asarray(y, bool),
+                          x["rank"] * x["invdegree"], 0.0),
+        "invdegree": jnp.zeros_like(x["invdegree"])},
+        PAGERANK_TYPE, PAGERANK_TYPE, BOOL)
+    add = BinaryOp("PAGERANK_ADD", lambda x, y: {
+        "rank": x["rank"] + y["rank"],
+        "invdegree": x["invdegree"] + y["invdegree"]},
+        PAGERANK_TYPE, PAGERANK_TYPE, PAGERANK_TYPE)
+    mon = monoid_new(add, {"rank": 0.0, "invdegree": 0.0})
+    return mult, add, mon, semiring_new(mon, mult)
+
+
 def dpagerank2(A: Matrix, itermax: int = 100, tol: float = 1e-5
                ) -> Tuple[List[Tuple[int, float]], int]:
     """PageRank via a user-defined semiring over {rank, invdegree}
@@ -186,17 +203,7 @@ def dpagerank2(A: Matrix, itermax: int = 100, tol: float = 1e-5
 
     # the PageRank semiring: multiply casts the edge to x.rank*x.invdegree,
     # add sums ranks (dpagerank2.c:83-101)
-    pr_mult = BinaryOp("PAGERANK_MULT", lambda x, y: {
-        "rank": jnp.where(jnp.asarray(y, bool),
-                          x["rank"] * x["invdegree"], 0.0),
-        "invdegree": jnp.zeros_like(x["invdegree"])},
-        PAGERANK_TYPE, PAGERANK_TYPE, BOOL)
-    pr_add = BinaryOp("PAGERANK_ADD", lambda x, y: {
-        "rank": x["rank"] + y["rank"],
-        "invdegree": x["invdegree"] + y["invdegree"]},
-        PAGERANK_TYPE, PAGERANK_TYPE, PAGERANK_TYPE)
-    pr_monoid = monoid_new(pr_add, {"rank": 0.0, "invdegree": 0.0})
-    pr_semiring = semiring_new(pr_monoid, pr_mult)
+    pr_mult, pr_add, pr_monoid, pr_semiring = pagerank_ops()
     # accum: rnew = damping*rank + teleport, invdegree kept from old r
     pr_accum = BinaryOp("PAGERANK_ACCUM", lambda x, y: {
         "rank": damping * y["rank"] + teleport,

@@ -100,6 +100,35 @@ def _launch(starts, ta, tb, Atiles, Btiles, Mtiles, kmax: int,
     )(starts, ta, tb, Atiles, Btiles, Mtiles)
 
 
+def build_schedule(Mp: TilePattern, Ap: TilePattern, Bp: TilePattern):
+    """Host-side tile-triple schedule for the kernel: returns
+    (starts, ta, tb, Mtiles, kmax, outs) or None when there is no work.
+    Shared by :func:`bsr_masked_mm_pallas` and kernel-only benchmarks."""
+    ga, gb, gm = Ap.grid, Bp.grid, Mp.grid
+    trip = gm[:, :, None] & ga[:, None, :] & gb[None, :, :]
+    I, J, K = np.nonzero(trip)
+    outs = np.nonzero(gm)
+    nout = len(outs[0])
+    if len(I) == 0 or nout == 0:
+        return None
+    out_index = np.zeros(gm.shape, np.int32)
+    out_index[outs] = np.arange(nout, dtype=np.int32)
+    oid = out_index[I, J]
+    order = np.argsort(oid, kind="stable")
+    oid, I, J, K = oid[order], I[order], J[order], K[order]
+    counts = np.bincount(oid, minlength=nout)
+    starts = np.zeros(nout + 1, np.int32)
+    starts[1:] = np.cumsum(counts)
+    kmax = int(counts.max())
+    ta = jnp.asarray(Ap.index[I, K], jnp.int32)
+    tb = jnp.asarray(Bp.index[J, K], jnp.int32)
+    Mtiles = jnp.take(
+        Mp.tiles, jnp.asarray(Mp.index[outs[0], outs[1]], jnp.int32),
+        axis=0)
+    return (jnp.asarray(starts), ta, tb, Mtiles, kmax,
+            np.stack(outs, 1))
+
+
 def bsr_masked_mm_pallas(Mp: Optional[TilePattern], Ap: TilePattern,
                          Bp: TilePattern, acc_dtype=jnp.int32,
                          interpret: bool = None
@@ -121,32 +150,16 @@ def bsr_masked_mm_pallas(Mp: Optional[TilePattern], Ap: TilePattern,
         index = np.zeros(grid_out.shape, np.int32)  # every tile -> slot 0
         Mp = TilePattern(ones, grid_out, index, (
             grid_out.shape[0] * Ap.T, grid_out.shape[1] * Ap.T), Ap.T)
-    ga, gb, gm = Ap.grid, Bp.grid, Mp.grid
-    trip = gm[:, :, None] & ga[:, None, :] & gb[None, :, :]
-    I, J, K = np.nonzero(trip)
-    outs = np.nonzero(gm)
-    nout = len(outs[0])
-    T = Ap.T
-    if len(I) == 0 or nout == 0:
-        return jnp.zeros((nout, T, T), acc_dtype), np.stack(outs, 1)
-    out_index = np.zeros(gm.shape, np.int32)
-    out_index[outs] = np.arange(nout, dtype=np.int32)
-    oid = out_index[I, J]
-    # sort triples by output tile; starts[] gives each tile's K-run
-    order = np.argsort(oid, kind="stable")
-    oid, I, J, K = oid[order], I[order], J[order], K[order]
-    counts = np.bincount(oid, minlength=nout)
-    starts = np.zeros(nout + 1, np.int32)
-    starts[1:] = np.cumsum(counts)
-    kmax = int(counts.max())
-    ta = jnp.asarray(Ap.index[I, K], jnp.int32)
-    tb = jnp.asarray(Bp.index[J, K], jnp.int32)
-    Mtiles = jnp.take(
-        Mp.tiles, jnp.asarray(Mp.index[outs[0], outs[1]], jnp.int32),
-        axis=0)
-    C = _launch(jnp.asarray(starts), ta, tb, Ap.tiles, Bp.tiles, Mtiles,
+    sched = build_schedule(Mp, Ap, Bp)
+    if sched is None:
+        outs = np.nonzero(Mp.grid)
+        T = Ap.T
+        return (jnp.zeros((len(outs[0]), T, T), acc_dtype),
+                np.stack(outs, 1))
+    starts, ta, tb, Mtiles, kmax, outs = sched
+    C = _launch(starts, ta, tb, Ap.tiles, Bp.tiles, Mtiles,
                 kmax, interpret, acc_dtype)
-    return C, np.stack(outs, 1)
+    return C, outs
 
 
 def bsr_masked_count_pallas(Mp: TilePattern, Ap: TilePattern,

@@ -61,18 +61,8 @@ my_max_terminal = monoid_new(binary.max[FP64], -np.inf, terminal=1e308)
 
 
 def pagerank_semiring():
-    """The compile-time PageRank semiring (my_pagerank.m4); the same
-    objects the runtime path builds in models.pagerank.dpagerank2."""
-    from .models.pagerank import PAGERANK_TYPE
-    from .core.types import BOOL
-    mult = BinaryOp("PAGERANK_MULT", lambda x, y: {
-        "rank": jnp.where(jnp.asarray(y, bool),
-                          x["rank"] * x["invdegree"], 0.0),
-        "invdegree": jnp.zeros_like(x["invdegree"])},
-        PAGERANK_TYPE, PAGERANK_TYPE, BOOL)
-    add = BinaryOp("PAGERANK_ADD", lambda x, y: {
-        "rank": x["rank"] + y["rank"],
-        "invdegree": x["invdegree"] + y["invdegree"]},
-        PAGERANK_TYPE, PAGERANK_TYPE, PAGERANK_TYPE)
-    return semiring_new(monoid_new(add, {"rank": 0.0, "invdegree": 0.0}),
-                        mult)
+    """The compile-time PageRank semiring (my_pagerank.m4) — literally
+    the same objects the runtime path builds in dpagerank2 (shared
+    constructor, so they cannot drift apart)."""
+    from .models.pagerank import pagerank_ops
+    return pagerank_ops()[3]

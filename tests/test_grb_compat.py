@@ -101,6 +101,48 @@ def test_wait_and_nonblocking():
     v = grb.GrB_Vector_new(grb.GrB_FP64, 4)
     v = v.setElement(2.5, 1, blocking=False)
     assert v._pending
-    (v,) = grb.GrB_wait(v)
+    v = grb.GrB_wait(v)
     assert not v._pending
     assert grb.GrB_Vector_extractElement(v, 1) == 2.5
+
+
+# ---------------------------------------------------------------------------
+# facade review regressions
+# ---------------------------------------------------------------------------
+
+def test_grb_wait_single_returns_object():
+    v = grb.GrB_Vector_new(grb.GrB_FP64, 3)
+    v = v.setElement(1.0, 0, blocking=False)
+    v = grb.GrB_wait(v)          # NOT a tuple
+    assert grb.GrB_Vector_extractElement(v, 0) == 1.0
+    a, b = grb.GrB_wait(v, v)    # multiple -> tuple
+    assert grb.GrB_Vector_nvals(a) == 1
+
+
+def test_descriptor_reset_to_default():
+    d = grb.GrB_Descriptor_set(grb.GrB_Descriptor_new(),
+                               grb.GrB_OUTP, grb.GrB_REPLACE)
+    assert d.replace
+    d = grb.GrB_Descriptor_set(d, grb.GrB_OUTP, grb.GxB_DEFAULT)
+    assert not d.replace
+
+
+def test_gxb_set_global_form():
+    grb.GxB_set("format", "by_col")
+    assert grb.GxB_get("format") == "by_col"
+    grb.GxB_set("format", "by_row")
+
+
+def test_subassign_col_vector_form():
+    import numpy as np
+    C = grb.GrB_Matrix_new(grb.GrB_FP64, 4, 3)
+    u = grb.GrB_Vector_new(grb.GrB_FP64, 2)
+    u = u.setElement(5.0, 0).setElement(7.0, 1)
+    # C(I, 1) = u  (GxB_Col_subassign form)
+    C2 = grb.GxB_subassign(C, None, None, u, [0, 2], 1)
+    assert C2.extractElement(0, 1) == 5.0
+    assert C2.extractElement(2, 1) == 7.0
+    # C(1, J) = u'  (GxB_Row_subassign form)
+    C3 = grb.GxB_subassign(C, None, None, u, 1, [0, 2])
+    assert C3.extractElement(1, 0) == 5.0
+    assert C3.extractElement(1, 2) == 7.0
