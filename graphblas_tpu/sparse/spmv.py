@@ -78,9 +78,9 @@ def _mult_apply(sr: Semiring, avals, xvals):
                    if avals.dtype != jnp.bool_ else xvals)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _csr_mxv_jit(add_name: str, sr: Semiring, nrows: int, avals, cols,
-                 rows, x_ext, xp_ext, identity):
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _csr_mxv_jit(add_name: str, sr: Semiring, nrows: int, zdtype, avals,
+                 cols, rows, x_ext, xp_ext, identity):
     xg = jnp.take(x_ext, cols, axis=0)      # padded lanes hit the slot
     xpg = jnp.take(xp_ext, cols, axis=0)    # structural presence of x
     z = _mult_apply(sr, avals, xg)
@@ -89,9 +89,14 @@ def _csr_mxv_jit(add_name: str, sr: Semiring, nrows: int, avals, cols,
     # not just those where mult(a, 0) == identity)
     live = xpg & (rows < nrows)
     z = jnp.where(live, z, jnp.asarray(identity, z.dtype))
-    y = segment_reduce(add_name, z, jnp.minimum(rows, nrows), nrows + 1,
-                       identity)[:nrows]
-    return y
+    seg = jnp.minimum(rows, nrows)
+    y = segment_reduce(add_name, z, seg, nrows + 1, identity)[:nrows]
+    # output pattern: rows with >= 1 structural contribution — fused
+    # here so one dispatch covers the whole SpMV
+    ypat = jax.ops.segment_max(live.astype(jnp.int32), seg,
+                               num_segments=nrows + 1)[:nrows] > 0
+    y = jnp.where(ypat, y.astype(zdtype), jnp.zeros((), zdtype))
+    return y, ypat
 
 
 def csr_mxv(sr: Semiring, A: CsrMatrix, x, x_pattern=None):
@@ -111,16 +116,9 @@ def csr_mxv(sr: Semiring, A: CsrMatrix, x, x_pattern=None):
     # identity slot for padded column indices (sentinel = ncols)
     x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
     xp_ext0 = jnp.concatenate([xp, jnp.zeros((1,), bool)])
-    y = _csr_mxv_jit(sr.add.op.name, sr, A.nrows, avals, A.indices,
-                     A.rowids, x_ext, xp_ext0, ident)
-    # pattern: rows with >= 1 structural contribution
-    hit = jnp.take(xp_ext0, A.indices, axis=0) & (A.rowids < A.nrows)
-    ypat = jax.ops.segment_max(hit.astype(jnp.int32),
-                               jnp.minimum(A.rowids, A.nrows),
-                               num_segments=A.nrows + 1)[:A.nrows] > 0
-    zt = sr.ztype
-    y = jnp.where(ypat, y.astype(zt.dtype), jnp.zeros((), zt.dtype))
-    return y, ypat
+    return _csr_mxv_jit(sr.add.op.name, sr, A.nrows, sr.ztype.dtype,
+                        avals, A.indices, A.rowids, x_ext, xp_ext0,
+                        ident)
 
 
 def csr_vxm(sr: Semiring, x, AT: CsrMatrix, x_pattern=None):
