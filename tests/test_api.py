@@ -399,3 +399,46 @@ def test_kron_custom_op():
     want = gb.kron(gb.Matrix.new(gb.FP64, 2, 4), None, None,
                    gb.binary.min[gb.FP64], A, B)
     assert np.allclose(C.to_dense(), want.to_dense())
+
+
+def test_normalize_indices_forms():
+    from graphblas_tpu.utils.indices import normalize_indices, ALL
+    assert normalize_indices(ALL, 5).tolist() == [0, 1, 2, 3, 4]
+    assert normalize_indices(None, 3).tolist() == [0, 1, 2]
+    assert normalize_indices(":", 3).tolist() == [0, 1, 2]
+    assert normalize_indices(2, 5).tolist() == [2]
+    assert normalize_indices(slice(1, 4), 5).tolist() == [1, 2, 3]
+    assert normalize_indices(slice(4, None, -2), 5).tolist() == [4, 2, 0]
+    assert normalize_indices(range(1, 3), 5).tolist() == [1, 2]
+    assert normalize_indices([3, 1, 1], 5, unique=True).tolist() == [1, 3]
+    with pytest.raises(gb.IndexOutOfBounds):
+        normalize_indices([7], 5)
+    from graphblas_tpu.core.errors import InvalidValue
+    with pytest.raises(InvalidValue):
+        normalize_indices(np.zeros((2, 2), np.int64), 5)
+
+
+def test_isequal_vectors_and_rtol():
+    from graphblas_tpu.utils.compare import isequal
+    v = gb.Vector.from_coo([0, 2], [1.0, 2.0], 4)
+    w = gb.Vector.from_coo([0, 2], [1.0, 2.0 + 1e-13], 4)
+    assert not isequal(v, w)
+    assert isequal(v, w, rtol=1e-9)
+    assert not isequal(v, gb.Matrix.new(gb.FP64, 4, 1))  # vector vs matrix
+    u = gb.Vector.from_coo([0], [1.0], 4)
+    assert not isequal(v, u)  # different pattern
+
+
+def test_simple_rand_scalar_batch_agree():
+    from graphblas_tpu.utils.simple_rand import SimpleRand
+    a, b = SimpleRand(7), SimpleRand(7)
+    xs = [a.rand_x() for _ in range(10)]
+    ys = b.rand_x_batch(10)
+    assert np.allclose(xs, ys, rtol=0, atol=0)
+    a2, b2 = SimpleRand(3), SimpleRand(3)
+    assert [a2.rand() for _ in range(5)] == b2.rand_batch(5).tolist()
+    assert SimpleRand(9).rand_i() == SimpleRand(9).rand_i()
+    s = SimpleRand(4)
+    s.seed(11)
+    t = SimpleRand(11)
+    assert s.rand() == t.rand()
