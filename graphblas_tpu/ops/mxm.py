@@ -54,14 +54,10 @@ def _count_dtype(k: int):
 
 
 def _pattern_mm(Ap, Bp):
-    k = Ap.shape[-1]
-    dt = _count_dtype(k)
-    # HIGHEST keeps the f32 count matmul exact (TPU default would round
-    # the 1.0 inputs through bf16 passes — fine — but products of counts
-    # must accumulate exactly, so be explicit).
-    cnt = jnp.matmul(Ap.astype(dt), Bp.astype(dt),
-                     preferred_element_type=dt,
-                     precision=jax.lax.Precision.HIGHEST)
+    # int8 0/1 inputs with int32 accumulation: the MXU's native int8
+    # path (4x the f32 rate), exact for any count below 2^31
+    cnt = jnp.matmul(Ap.astype(jnp.int8), Bp.astype(jnp.int8),
+                     preferred_element_type=jnp.int32)
     return cnt > 0
 
 
@@ -80,6 +76,11 @@ def _dot(a, b, out_dtype):
     """
     od = np.dtype(out_dtype)
     if od.kind in "ui":
+        if a.dtype == jnp.bool_ and b.dtype == jnp.bool_:
+            # 0/1 counting: native int8 MXU path, exact below 2^31
+            r = jnp.matmul(a.astype(jnp.int8), b.astype(jnp.int8),
+                           preferred_element_type=jnp.int32)
+            return r.astype(od)
         acc = jnp.int32 if od.itemsize <= 4 else jnp.int64
         r = jnp.matmul(a.astype(acc), b.astype(acc),
                        preferred_element_type=acc,
