@@ -54,6 +54,13 @@ _REDUCEAT_OPS = {
 }
 
 
+def _check_pattern_shape(pat_shape, val_shape):
+    if tuple(pat_shape) != tuple(val_shape):
+        raise DimensionMismatch(
+            f"pattern shape {tuple(pat_shape)} != values shape "
+            f"{tuple(val_shape)}")
+
+
 def _cast_array_np(X: np.ndarray, t: Type) -> np.ndarray:
     """Vectorized host-side cast matching cast_value's semantics (a
     Python-level per-element loop is minutes on 10M-edge builds)."""
@@ -155,7 +162,7 @@ class _Base:
         return self.type.dtype
 
     def _replace(self, values=None, pattern=None, type=None, pending=None):
-        cls = builtins_cls = self.__class__
+        cls = self.__class__
         obj = cls.__new__(cls)
         _Base.__init__(
             obj,
@@ -191,8 +198,10 @@ class _Base:
         # group consecutive same-accum runs
         runs: List[Tuple] = []
         for (idx, scalar, accum) in self._pending:
-            if isinstance(accum, str):
-                accum = None
+            if accum is not None and not isinstance(accum, BinaryOp):
+                raise TypeError(
+                    f"setElement accum must be a BinaryOp, got "
+                    f"{accum!r}")
             if runs and runs[-1][0] is accum:
                 runs[-1][1].append((idx, scalar))
             else:
@@ -270,12 +279,24 @@ class _Base:
             from .options import BLOCKING, global_options
             blocking = global_options().mode == BLOCKING
         idx = index if len(index) > 1 else index[0]
+        self._check_index(idx)
         out = self._replace(pending=self._pending + [(idx, value, accum)])
         return out.wait() if blocking else out
+
+    def _check_index(self, idx):
+        """Bounds validation (GrB_INVALID_INDEX): jnp scatters silently
+        drop / gathers clamp out-of-range indices, so check up front."""
+        shape = self.shape
+        parts = idx if isinstance(idx, tuple) else (idx,)
+        for dim, i in zip(shape, parts):
+            if not (0 <= int(i) < dim):
+                raise IndexOutOfBounds(
+                    f"index {parts} out of range for shape {shape}")
 
     def extractElement(self, *index):
         m = self.wait()
         idx = index if len(index) > 1 else index[0]
+        self._check_index(idx)
         present = bool(np.asarray(m.pattern[idx]))
         if not present:
             return None  # GrB_NO_VALUE
@@ -287,6 +308,7 @@ class _Base:
     def removeElement(self, *index):
         m = self.wait()
         idx = index if len(index) > 1 else index[0]
+        self._check_index(idx)
         return m._replace(pattern=m.pattern.at[idx].set(False)).canonical()
 
     def clear(self):
@@ -301,8 +323,13 @@ class _Base:
     # -- conversion ------------------------------------------------------------------
     def to_dense(self, fill=None):
         m = self.wait()
-        out = m.values if fill is None else _tree_where(
-            m.pattern, m.values, jnp.full(m.shape, fill))
+        if fill is None:
+            out = m.values
+        else:
+            out = jax.tree_util.tree_map(
+                lambda a: jnp.where(m.pattern, a,
+                                    jnp.asarray(fill, a.dtype)),
+                m.values)
 
         def pull(a):
             if not isinstance(a, np.ndarray) and a.dtype == jnp.bool_:
@@ -327,11 +354,19 @@ class Matrix(_Base):
     @staticmethod
     def from_dense(arr, type: Optional[Type] = None,
                    pattern=None) -> "Matrix":
+        if type is not None and type.is_udt:
+            leaves = jax.tree_util.tree_map(jnp.asarray, arr)
+            shape = jax.tree_util.tree_leaves(leaves)[0].shape
+            pat = (jnp.ones(shape, np.bool_) if pattern is None
+                   else jnp.asarray(pattern, np.bool_))
+            _check_pattern_shape(pat.shape, shape)
+            return Matrix(leaves, pat, type).canonical()
         arr = jnp.asarray(arr)
         t = type or type_of_dtype(arr.dtype)
         arr = cast(arr, t)
         pat = (jnp.ones(arr.shape, np.bool_) if pattern is None
                else jnp.asarray(pattern, np.bool_))
+        _check_pattern_shape(pat.shape, arr.shape)
         return Matrix(arr, pat, t).canonical()
 
     @staticmethod
@@ -469,6 +504,7 @@ class Vector(_Base):
         arr = cast(arr, t)
         pat = (jnp.ones(arr.shape, np.bool_) if pattern is None
                else jnp.asarray(pattern, np.bool_))
+        _check_pattern_shape(pat.shape, arr.shape)
         return Vector(arr, pat, t).canonical()
 
     @staticmethod

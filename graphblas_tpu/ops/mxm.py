@@ -47,12 +47,6 @@ __all__ = ["mxm", "mxv", "vxm", "semiring_mm"]
 _tmap = jax.tree_util.tree_map
 
 
-def _count_dtype(k: int):
-    # pattern matmul accumulates counts <= k; f32 is exact below 2^24 and
-    # rides the MXU.  Larger inner dims fall back to int32 accumulation.
-    return jnp.float32 if k < (1 << 24) else jnp.int32
-
-
 def _pattern_mm(Ap, Bp):
     # int8 0/1 inputs with int32 accumulation: the MXU's native int8
     # path (4x the f32 rate), exact for any count below 2^31
@@ -149,11 +143,9 @@ def _mxu_path(sr: Semiring, Av, Ap, Bv, Bp):
             bad = _pattern_mm(Ap & ~at, Bp & ~bt)
             return ~bad, "mxu:land_lor"
         if (add, mult) in (("LXOR", "LAND"), ("LXOR", "TIMES")):
-            k = Ap.shape[-1]
-            dt = _count_dtype(k)
-            cnt = jnp.matmul(at.astype(dt), bt.astype(dt),
-                             preferred_element_type=dt)
-            return cnt.astype(jnp.int32) % 2 != 0, "mxu:lxor_land"
+            cnt = jnp.matmul(at.astype(jnp.int8), bt.astype(jnp.int8),
+                             preferred_element_type=jnp.int32)
+            return cnt % 2 != 0, "mxu:lxor_land"
         if (add, mult) == ("LOR", "FIRST"):
             return _pattern_mm(at, Bp), "mxu:lor_first"
         if (add, mult) == ("LOR", "SECOND"):
@@ -169,14 +161,24 @@ def _mxu_path(sr: Semiring, Av, Ap, Bv, Bp):
 # tropical Pallas path: MIN/MAX-monoid semirings the MXU cannot express
 # ---------------------------------------------------------------------------
 
+_TROPICAL_SAFE_MULTS = ("PLUS", "MIN", "MAX")
+
+
 def _tropical_pallas_path(sr: Semiring, Av, Ap, Bv, Bp):
     """Route fp32 tropical semirings (MIN_PLUS etc.) to the VMEM-blocked
     Pallas kernel; absent entries are filled with the add identity so
-    only present pairs can win the reduction."""
+    only present pairs can win the reduction.
+
+    The identity fill is absorbing for PLUS/MIN/MAX mults (±inf + x,
+    max(x, +inf), min(x, -inf) all yield the add identity) but NOT for
+    TIMES (a negative value times ±inf flips sign, 0 times inf is NaN),
+    so MIN_TIMES/MAX_TIMES stay on the generic masked path."""
     from ..sparse.pallas_tropical import TROPICAL_PAIRS, tropical_mm
     add, mult = sr.add.op.name, sr.mult.name
     zt = sr.ztype
     if zt.is_udt or (add, mult) not in TROPICAL_PAIRS:
+        return None
+    if mult not in _TROPICAL_SAFE_MULTS:
         return None
     if jax.default_backend() == "cpu":
         return None  # interpret-mode Pallas is slower than the scan
@@ -339,6 +341,9 @@ def mxv(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
     if isinstance(A, CsrMatrix) and not d.tran0:
         from ..sparse.spmv import csr_mxv
         u = u.wait()
+        if u.shape[0] != A.ncols:
+            raise DimensionMismatch(
+                f"A is {A.nrows}x{A.ncols}, u has size {u.shape[0]}")
         yv, yp = csr_mxv(semiring, A, u.values, u.pattern)
         T = Vector(yv, yp, semiring.ztype)
         return accum_mask(w, m, T, accum, d)
@@ -362,10 +367,19 @@ def vxm(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
     from ..sparse.container import CsrMatrix
     d = desc_of(desc)
     if isinstance(A, CsrMatrix) and d.tran1:
-        # u' * A' = (A u)': the CSR kernel handles it directly
+        # u' * A' = (A ⊗ᵀ u)': the CSR kernel computes mult(A_jk, u_k),
+        # so flip the mult (and its domains) to preserve operand order
+        # for non-commutative multiplies (FIRST/MINUS/DIV/...)
         from ..sparse.spmv import csr_mxv
         u = u.wait()
-        yv, yp = csr_mxv(semiring, A, u.values, u.pattern)
+        if u.shape[0] != A.ncols:
+            raise DimensionMismatch(
+                f"A' is {A.ncols}x{A.nrows}, u has size {u.shape[0]}")
+        mult = semiring.mult
+        flipped = Semiring(semiring.add, BinaryOp(
+            mult.name + "_FLIP", lambda x, y: mult.fn(y, x),
+            mult.ztype, mult.ytype, mult.xtype))
+        yv, yp = csr_mxv(flipped, A, u.values, u.pattern)
         T = Vector(yv, yp, semiring.ztype)
         return accum_mask(w, m, T, accum, d)
     A = _as_bitmap(A).wait()

@@ -442,3 +442,67 @@ def test_simple_rand_scalar_batch_agree():
     s.seed(11)
     t = SimpleRand(11)
     assert s.rand() == t.rand()
+
+
+def test_third_review_regressions():
+    import jax.numpy as jnp
+    from graphblas_tpu.core.types import Type
+    # bounds validation on element access
+    M = gb.Matrix.new(gb.INT32, 2, 2)
+    with pytest.raises(gb.IndexOutOfBounds):
+        M.setElement(5, 99, 0)
+    with pytest.raises(gb.IndexOutOfBounds):
+        M.extractElement(99, 0)
+    with pytest.raises(gb.IndexOutOfBounds):
+        gb.Vector.new(gb.FP64, 3).removeElement(7)
+    # to_dense(fill) for UDT
+    U = Type.udt("tdr", a=gb.FP64)
+    W = gb.Matrix.new(U, 2, 2).setElement({"a": 3.0}, 0, 0)
+    d = W.to_dense(fill=-1.0)
+    assert d["a"][0][0] == 3.0 and d["a"][1][1] == -1.0
+    # string accum rejected
+    v = gb.Vector.new(gb.FP64, 2).setElement(1.0, 0, accum="PLUS",
+                                             blocking=False)
+    with pytest.raises(TypeError):
+        v.wait()
+    # pattern shape validation
+    with pytest.raises(gb.DimensionMismatch):
+        gb.Matrix.from_dense(np.ones((3, 4)), pattern=np.ones(4, bool))
+
+
+def test_vxm_csr_noncommutative_flip():
+    from graphblas_tpu import sparse as sp
+    from graphblas_tpu.core.semirings import semiring
+    rng = np.random.default_rng(80)
+    mask = rng.random((6, 6)) < 0.6
+    Ad = (rng.integers(1, 9, (6, 6)) * mask).astype(np.float64)
+    I, J = np.nonzero(mask)
+    A = sp.CsrMatrix.from_coo(I, J, Ad[I, J], 6, 6)
+    u = gb.Vector.from_dense(np.arange(1.0, 7.0))
+    for srname in ("plus_first", "plus_second", "min_minus"):
+        sr = semiring[srname][gb.FP64]
+        got = gb.vxm(gb.Vector.new(gb.FP64, 6), None, None, sr, u, A,
+                     gb.TRAN1)
+        want = gb.vxm(gb.Vector.new(gb.FP64, 6), None, None, sr, u,
+                      A.to_matrix(), gb.TRAN1)
+        assert np.allclose(got.to_dense(), want.to_dense()), srname
+        assert np.array_equal(got.pattern_np(), want.pattern_np())
+    # dimension check on the fast path
+    with pytest.raises(gb.DimensionMismatch):
+        gb.mxv(gb.Vector.new(gb.FP64, 6), None, None,
+               semiring.plus_times[gb.FP64], A,
+               gb.Vector.from_dense(np.ones(5)))
+
+
+def test_tropical_times_not_poisoned():
+    # MIN_TIMES with absent partners must NOT take the pallas fill path
+    from graphblas_tpu.core.semirings import semiring
+    Av = np.array([[2.0, -1.0]], np.float32)
+    Ap = np.array([[True, True]])
+    Bv = np.array([[3.0], [0.0]], np.float32)
+    Bp = np.array([[True], [False]])   # B[1,0] absent
+    A = gb.Matrix.from_dense(Av, gb.FP32, pattern=Ap)
+    B = gb.Matrix.from_dense(Bv, gb.FP32, pattern=Bp)
+    C = gb.mxm(gb.Matrix.new(gb.FP32, 1, 1), None, None,
+               semiring.min_times[gb.FP32], A, B)
+    assert C.extractElement(0, 0) == 6.0   # only the present pair
