@@ -64,7 +64,14 @@ def native_lib() -> Optional[ctypes.CDLL]:
 
 
 def parse_triplets_native(path: str):
-    """Parse a triplet file with the C parser; None if lib unavailable."""
+    """Parse a triplet file with the C parser; None if lib unavailable.
+
+    Malformed input (a non-numeric token, or inconsistent column counts)
+    raises ValueError — the same conditions ``np.loadtxt`` raises on in
+    the fallback path, so behavior is identical either way.  Values are
+    parsed with strtod, so rounding and nan/inf agree with numpy to the
+    ULP.
+    """
     lib = native_lib()
     if lib is None:
         return None
@@ -80,6 +87,10 @@ def parse_triplets_native(path: str):
         J.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         X.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         n)
+    if got == -2:
+        raise ValueError(
+            f"malformed triplet file {path!r}: non-numeric token or "
+            f"inconsistent column count")
     if got < 0:
         return None
     return I[:got], J[:got], X[:got]

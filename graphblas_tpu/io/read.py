@@ -33,8 +33,11 @@ __all__ = ["read_triplets", "read_matrix", "write_triplets", "mmread",
 def read_triplets(source) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Parse "i j x" triplet lines -> (I, J, X) numpy arrays.
 
-    Accepts a path, file object, or string.  Lines may have 2 columns
-    (pattern; value=1) or 3.  Uses the native C parser when available.
+    Accepts a path, file object, or string.  Policy (identical in the
+    native C parser and this fallback): a data line needs >= 2 numeric
+    tokens — indices first, then an optional value (default 1.0); tokens
+    past the 3rd are ignored; lines starting with '%' or '#' are
+    comments; a malformed token among the first 3 raises ValueError.
     """
     if isinstance(source, (str, os.PathLike)):
         from .native import parse_triplets_native
@@ -47,7 +50,35 @@ def read_triplets(source) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         text = source.read()
     else:
         text = source
-    arr = np.loadtxt(_io.StringIO(text), ndmin=2, dtype=np.float64)
+    try:
+        # fast vectorized path for well-formed consistent-column files
+        arr = np.loadtxt(_io.StringIO(text), ndmin=2, dtype=np.float64,
+                         comments=("%", "#"))
+        if arr.shape[0] and arr.shape[1] < 2:
+            raise ValueError("data line with fewer than 2 columns")
+    except ValueError:
+        # mixed 2/3-column (or >3-column) files: per-line parse with the
+        # same policy as the C parser; float() == strtod token rules
+        rows = []
+        for ln in text.splitlines():
+            # '%' and '#' start a comment anywhere on the line
+            for c in "%#":
+                cut = ln.find(c)
+                if cut >= 0:
+                    ln = ln[:cut]
+            s = ln.strip()
+            if not s:
+                continue
+            parts = s.split()
+            if len(parts) < 2:
+                raise ValueError(
+                    f"malformed triplet line (need >=2 columns): {s!r}")
+            try:
+                rows.append((float(parts[0]), float(parts[1]),
+                             float(parts[2]) if len(parts) > 2 else 1.0))
+            except ValueError:
+                raise ValueError(f"malformed triplet line: {s!r}") from None
+        arr = np.asarray(rows, np.float64).reshape(-1, 3)
     if arr.size == 0:
         return (np.zeros(0, np.int64), np.zeros(0, np.int64),
                 np.zeros(0, np.float64))

@@ -128,6 +128,17 @@ def csr_from_coo(I, J, X, nrows: int, ncols: int,
     X = np.asarray(X)
     t = type or type_of_dtype(X.dtype)
     if I.size:
+        # same bounds validation as Matrix.from_coo: a negative or
+        # out-of-range index would silently corrupt the CSR (and the
+        # native radix sort assumes non-negative keys)
+        from ..core.errors import IndexOutOfBounds
+        imin, imax = I.min(), I.max()
+        jmin, jmax = J.min(), J.max()
+        if imin < 0 or imax >= nrows or jmin < 0 or jmax >= ncols:
+            raise IndexOutOfBounds(
+                f"tuple index out of range for {nrows}x{ncols}: "
+                f"rows [{imin},{imax}], cols [{jmin},{jmax}]")
+    if I.size:
         if sum_duplicates:
             from ..io.native import sort_dedup_native
             nat = None

@@ -264,6 +264,17 @@ def masked_mxm(M, A, B, semiring=None, T: int = TILE,
     Cnt_s, outs = bsr_masked_mm_pallas(Mt_tiles, Apt_s, Bpt_s, jnp.int32,
                                        interpret)
     if mode == "values":
+        # value tiles run at f32 on the MXU; silently computing an FP64
+        # PLUS_TIMES at f32 would break the "match the reference within
+        # roundoff" policy, so route f64 callers to gb.mxm (which
+        # accumulates in f64) instead of degrading precision
+        if any(t is not None and np.dtype(t.dtype) == np.float64
+               for t in (At, Bt)) or (
+                semiring is not None
+                and np.dtype(semiring.ztype.dtype) == np.float64):
+            raise TypeError(
+                "BSR value tiles compute at f32 precision; FP64 "
+                "PLUS_TIMES must go through gb.mxm (f64 accumulation)")
         Ap = tile_matrix(Av, Apat, T, np.float32)
         Bp = tile_matrix(Bv.T, Bpat.T, T, np.float32)
         C, outs = bsr_masked_mm_pallas(Mt_tiles, Ap, Bp, jnp.float32,

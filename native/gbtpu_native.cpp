@@ -72,36 +72,44 @@ inline const char *skip_ws(const char *p, const char *end) {
     return p;
 }
 
-// parse a decimal number (integer or float, optional exponent)
-inline const char *parse_double(const char *p, const char *end, double *out) {
+// Parse one whitespace-delimited token as a double.  Pure-integer tokens
+// take a fast inline path (exact below 2^53); everything else — floats,
+// exponents, nan/inf — is copied to a bounded buffer and handed to
+// strtod so rounding matches libc (and numpy.loadtxt) to the ULP.
+// Returns the position after the token, or nullptr if the token is not
+// fully numeric (malformed input).
+inline const char *parse_token(const char *p, const char *end, double *out) {
     p = skip_ws(p, end);
-    if (p >= end) return nullptr;
-    bool neg = false;
-    if (*p == '-') { neg = true; p++; }
-    else if (*p == '+') p++;
-    if (p >= end || (!(*p >= '0' && *p <= '9') && *p != '.')) return nullptr;
-    double v = 0;
-    while (p < end && *p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
-    if (p < end && *p == '.') {
-        p++;
-        double scale = 0.1;
-        while (p < end && *p >= '0' && *p <= '9') {
-            v += (*p++ - '0') * scale;
-            scale *= 0.1;
+    if (p >= end || *p == '\n') return nullptr;
+    const char *tok_end = p;
+    while (tok_end < end && *tok_end != ' ' && *tok_end != '\t' &&
+           *tok_end != '\r' && *tok_end != '\n') tok_end++;
+    size_t len = tok_end - p;
+    // fast path: optionally-signed pure-digit run (the index columns)
+    {
+        const char *q = p;
+        bool neg = false;
+        if (q < tok_end && (*q == '-' || *q == '+')) neg = (*q++ == '-');
+        if (q < tok_end) {
+            int64_t v = 0;
+            const char *d = q;
+            while (d < tok_end && *d >= '0' && *d <= '9' &&
+                   v < (int64_t)1 << 52) v = v * 10 + (*d++ - '0');
+            if (d == tok_end) {
+                *out = neg ? -(double)v : (double)v;
+                return tok_end;
+            }
         }
     }
-    if (p < end && (*p == 'e' || *p == 'E')) {
-        p++;
-        bool eneg = false;
-        if (p < end && (*p == '-' || *p == '+')) eneg = (*p++ == '-');
-        int ex = 0;
-        while (p < end && *p >= '0' && *p <= '9') ex = ex * 10 + (*p++ - '0');
-        double f = 1;
-        while (ex-- > 0) f *= 10;
-        v = eneg ? v / f : v * f;
-    }
-    *out = neg ? -v : v;
-    return p;
+    if (len == 0 || len >= 64) return nullptr;
+    char buf[64];
+    memcpy(buf, p, len);
+    buf[len] = '\0';
+    char *ep = nullptr;
+    double v = strtod(buf, &ep);
+    if (ep != buf + len) return nullptr;  // trailing garbage in the token
+    *out = v;
+    return tok_end;
 }
 
 } // namespace
@@ -123,7 +131,12 @@ int64_t gbtpu_count_triplets(const char *path) {
     return lines;
 }
 
-// Parse "i j [x]" lines into preallocated arrays.  Returns # parsed, -1 err.
+// Parse "i j [x]" lines into preallocated arrays.  Returns # parsed;
+// -1 on I/O error; -2 on malformed input.  Policy (mirrored exactly by
+// the Python fallback in io/read.py): a data line needs >= 2 numeric
+// tokens; the 3rd token, when present, is the value (default 1.0);
+// tokens past the 3rd are ignored; a malformed token among the first 3
+// is an error, not a silent 1.0.
 int64_t gbtpu_parse_triplets(const char *path, int64_t *I, int64_t *J,
                              double *X, int64_t cap) {
     Mapped m = map_file(path);
@@ -134,23 +147,29 @@ int64_t gbtpu_parse_triplets(const char *path, int64_t *I, int64_t *J,
         const char *line_end =
             static_cast<const char *>(memchr(p, '\n', end - p));
         if (!line_end) line_end = end;
-        const char *q = skip_ws(p, line_end);
-        if (q < line_end && *q != '%' && *q != '#') {
-            double i2, j2, x = 1.0;
-            const char *r = parse_double(q, line_end, &i2);
-            if (r) {
-                r = parse_double(r, line_end, &j2);
-                if (r) {
-                    const char *r2 = parse_double(r, line_end, &x);
-                    if (!r2) x = 1.0;
-                    I[k] = (int64_t)i2;
-                    J[k] = (int64_t)j2;
-                    X[k] = x;
-                    k++;
-                }
-            }
+        const char *next_line = line_end;
+        // '%' and '#' start a comment anywhere on the line (numpy
+        // loadtxt's inline-comment behavior)
+        for (const char *c = p; c < line_end; c++) {
+            if (*c == '%' || *c == '#') { line_end = c; break; }
         }
-        p = line_end + 1;
+        const char *q = skip_ws(p, line_end);
+        if (q < line_end) {
+            double i2, j2, x = 1.0;
+            const char *r = parse_token(q, line_end, &i2);
+            if (!r) { unmap(m); return -2; }
+            r = parse_token(r, line_end, &j2);
+            if (!r) { unmap(m); return -2; }
+            const char *r3 = skip_ws(r, line_end);
+            if (r3 < line_end) {  // a 3rd token exists: must be numeric
+                if (!parse_token(r3, line_end, &x)) { unmap(m); return -2; }
+            }
+            I[k] = (int64_t)i2;
+            J[k] = (int64_t)j2;
+            X[k] = x;
+            k++;
+        }
+        p = next_line + 1;
     }
     unmap(m);
     return k;

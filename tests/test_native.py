@@ -39,6 +39,61 @@ def test_parse_matches_python(tmp_path):
 
 
 @needs_lib
+def test_parse_edge_case_floats(tmp_path):
+    """Native strtod values must match Python float() to the ULP
+    (ADVICE round 1: the old hand-rolled parser was off by ULPs on
+    exponent paths and turned nan/inf into 1.0)."""
+    cases = ["1.7976931348623157e308", "9.999999999999999e-5",
+             "2.2250738585072014e-308", "5e-324", "nan", "inf", "-inf",
+             "-0.0", "123456789.123456789", "1e-45", "3.3333333333333335",
+             "0.1", "6.02214076e23", "-2.718281828459045e-100"]
+    p = tmp_path / "edge.tsv"
+    p.write_text("".join(f"{i} 0 {c}\n" for i, c in enumerate(cases)))
+    I, J, X = native.parse_triplets_native(str(p))
+    expect = np.array([float(c) for c in cases])
+    assert np.array_equal(X, expect, equal_nan=True), \
+        [(c, x, e) for c, x, e in zip(cases, X, expect)
+         if not (x == e or (np.isnan(x) and np.isnan(e)))]
+
+
+@needs_lib
+def test_parse_malformed_raises_both_paths(tmp_path):
+    """Malformed value tokens raise in BOTH the native parser and the
+    numpy fallback (no silent value=1.0)."""
+    from graphblas_tpu.io.read import read_triplets
+    p = tmp_path / "bad.tsv"
+    p.write_text("0 0 1.5\n1 1 oops\n")
+    with pytest.raises(ValueError):
+        native.parse_triplets_native(str(p))
+    import io as _io
+    with pytest.raises(ValueError):
+        read_triplets(_io.StringIO(p.read_text()))  # fallback path
+    # missing index column: both raise
+    p2 = tmp_path / "bad2.tsv"
+    p2.write_text("0 0 1.5\n7\n")
+    with pytest.raises(ValueError):
+        native.parse_triplets_native(str(p2))
+    with pytest.raises(ValueError):
+        read_triplets(_io.StringIO(p2.read_text()))
+
+
+@needs_lib
+def test_parse_inline_comments_and_mixed_columns(tmp_path):
+    """Inline %/# comments and mixed 2/3-column lines parse identically
+    in the native path and the fallback."""
+    from graphblas_tpu.io.read import read_triplets
+    body = "0 0 1.5 # trailing\n1 2 % note\n2 1 -3e2\n% full line\n3 3\n"
+    p = tmp_path / "mix.tsv"
+    p.write_text(body)
+    import io as _io
+    In, Jn, Xn = native.parse_triplets_native(str(p))
+    If, Jf, Xf = read_triplets(_io.StringIO(body))  # fallback path
+    assert np.array_equal(In, If) and np.array_equal(Jn, Jf)
+    assert np.array_equal(Xn, Xf)
+    assert Xn.tolist() == [1.5, 1.0, -300.0, 1.0]
+
+
+@needs_lib
 @pytest.mark.parametrize("dup", ["PLUS", "FIRST", "SECOND", "MIN", "MAX",
                                  "TIMES"])
 def test_sort_dedup(dup):
