@@ -59,6 +59,13 @@ _DENSE_MACS_PER_S = 2.0e14      # int8/bf16 MXU effective
 _TILE_MACS_PER_S = 1.8e14      # pallas BSR
 _BITPACK_LANES_PER_S = 5.0e9   # gather-bound word-AND-popcount lanes
 _GENERIC_OPS_PER_S = 5.0e11    # VPU elementwise
+_ESC_LANES_PER_S = 2.0e9       # sort-bound expand/sort/compress lanes
+
+# a dense engine is only *feasible* when the bitmap operands/output fit
+# comfortably in HBM (the reference's analogue is Gustavson's
+# cvlen-sized Sauna: fine for any practical vector length, but our dense
+# engines allocate m*n).  2^28 f32 elements = 1 GB per array.
+_DENSE_LIMIT = 1 << 28          # elements per dense array
 
 
 def choose_axb_method(m: int, k: int, n: int,
@@ -66,20 +73,36 @@ def choose_axb_method(m: int, k: int, n: int,
                       mnnz: Optional[int] = None,
                       ntile_triples: Optional[int] = None,
                       mxu_capable: bool = True,
-                      tile: int = 128) -> str:
-    """Pick the cheapest engine by modeled device time
-    (``GB_AxB_select`` analogue)."""
+                      tile: int = 128,
+                      est_flops: Optional[int] = None) -> str:
+    """Pick the cheapest *feasible* engine by modeled device time
+    (``GB_AxB_select.c:93-159`` analogue, with the TPU engine menu).
+
+    ``est_flops``: expected multiply count for the sparse ESC engine
+    (exact flopcount or the annz*bnnz/k estimate); when given, the
+    sparse CSR engine competes.  Dense engines are excluded outright
+    when any of the three bitmaps would exceed ``_DENSE_LIMIT``.
+    """
     if not mxu_capable:
         return "generic"
-    t_dense = (m * k * n) / _DENSE_MACS_PER_S
-    best, t_best = "dense-mxu", t_dense
-    if ntile_triples is not None:
-        t_bsr = (ntile_triples * tile ** 3) / _TILE_MACS_PER_S
-        if t_bsr < t_best:
-            best, t_best = "bsr", t_bsr
-    if mnnz is not None:
-        words = max(1, (n + 31) // 32)
-        t_bitpack = (mnnz * words) / _BITPACK_LANES_PER_S
-        if t_bitpack < t_best:
-            best, t_best = "bitpack", t_bitpack
-    return best
+    dense_ok = max(m * k, k * n, m * n) <= _DENSE_LIMIT
+    best, t_best = None, float("inf")
+    if dense_ok:
+        best, t_best = "dense-mxu", (m * k * n) / _DENSE_MACS_PER_S
+        if ntile_triples is not None:
+            t_bsr = (ntile_triples * tile ** 3) / _TILE_MACS_PER_S
+            if t_bsr < t_best:
+                best, t_best = "bsr", t_bsr
+        if mnnz is not None:
+            words = max(1, (n + 31) // 32)
+            t_bitpack = (mnnz * words) / _BITPACK_LANES_PER_S
+            if t_bitpack < t_best:
+                best, t_best = "bitpack", t_bitpack
+    if est_flops is None and not dense_ok:
+        est_flops = max(1, (annz * bnnz) // max(k, 1))
+    if est_flops is not None:
+        lanes = max(est_flops, 1)
+        t_esc = lanes * max(np.log2(lanes), 1) / _ESC_LANES_PER_S
+        if t_esc < t_best:
+            best, t_best = "esc", t_esc
+    return best or "esc"

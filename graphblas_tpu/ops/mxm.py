@@ -303,21 +303,75 @@ def semiring_mm(sr: Semiring, Av, Ap, Bv, Bp, method_hint=None):
 # ---------------------------------------------------------------------------
 
 def _as_bitmap(X):
-    """Accept CsrMatrix anywhere a bitmap Matrix is expected (the
-    backend auto-select; large masked products should call
-    sparse.masked_mxm directly to stay on the tile path)."""
+    """Accept CsrMatrix anywhere a bitmap Matrix is expected."""
     from ..sparse.container import CsrMatrix
     return X.to_matrix() if isinstance(X, CsrMatrix) else X
+
+
+def _as_csr(X):
+    from ..sparse.container import CsrMatrix
+    return X if isinstance(X, CsrMatrix) else CsrMatrix.from_matrix(
+        X.wait())
+
+
+def _mxm_sparse(C, M, accum, sr: Semiring, A, B, d: Descriptor):
+    """Sparse-output mxm: ESC SpGEMM + CSR epilogue, engine chosen by
+    the cost model (the GB_AxB_meta auto-select, VERDICT round-2 #2)."""
+    from ..sparse.container import CsrMatrix
+    from ..sparse.esc import csr_spgemm
+    from ..sparse.mask import csr_accum_mask
+    from .flopcount import choose_axb_method
+    A = _as_csr(A)
+    B = _as_csr(B)
+    Mc = _as_csr(M) if M is not None else None
+    if d.tran0:
+        A = A.T()
+    if d.tran1:
+        B = B.T()
+    m, k = A.shape
+    n = B.ncols
+    if C.shape != (m, n):
+        raise DimensionMismatch(
+            f"C is {C.shape}, product is {(m, n)}")
+    engine = choose_axb_method(
+        m, k, n, A.nvals, B.nvals,
+        mnnz=Mc.nvals if Mc is not None else None,
+        est_flops=max(1, (A.nvals * B.nvals) // max(k, 1)))
+    if d.axb_method in ("gustavson", "heap"):
+        engine = "esc"
+    elif d.axb_method == "dot" and engine != "esc":
+        engine = "dense-mxu"
+    if engine != "esc" and max(m * k, k * n, m * n) <= (1 << 24):
+        # dense engines win at small/dense scale: bitmap product, then
+        # back to CSR for the sparse epilogue
+        Ad, Bd = A.to_matrix(), B.to_matrix()
+        tvals, tpat, _ = semiring_mm(sr, Ad.values, Ad.pattern,
+                                     Bd.values, Bd.pattern,
+                                     method_hint=d.axb_method)
+        T = CsrMatrix.from_matrix(Matrix(tvals, tpat, sr.ztype))
+    else:
+        # mask pushdown: T is only read where the (effective) mask
+        # selects, so the product can skip masked-out flops entirely
+        T = csr_spgemm(sr, A, B, mask=Mc, complement=d.mask_scmp,
+                       structural=d.mask_structure)
+    return csr_accum_mask(C, Mc, T, accum, d)
 
 
 def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
         semiring: Semiring, A: Matrix, B: Matrix,
         desc: Optional[Descriptor] = None) -> Matrix:
-    """C<M> = accum(C, A*B) (reference ``GrB_mxm`` -> ``GB_mxm.c``)."""
+    """C<M> = accum(C, A*B) (reference ``GrB_mxm`` -> ``GB_mxm.c``).
+
+    Container dispatch: a CsrMatrix ``C`` routes to the sparse-output
+    engine (ESC SpGEMM, O(nnz) memory — no densification); a bitmap
+    ``C`` uses the dense engines.  Engine choice within each backend is
+    the flop cost model (``choose_axb_method``)."""
     d = desc_of(desc)
+    from ..sparse.container import CsrMatrix
+    if isinstance(C, CsrMatrix):
+        return _mxm_sparse(C, M, accum, semiring, A, B, d)
     A = _as_bitmap(A).wait()
     B = _as_bitmap(B).wait()
-    C = _as_bitmap(C)
     M = _as_bitmap(M) if M is not None else None
     Av, Ap = (A.values, A.pattern)
     Bv, Bp = (B.values, B.pattern)
@@ -338,8 +392,10 @@ def mxv(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
     with no transpose routes to the edge-parallel sparse kernel."""
     from ..sparse.container import CsrMatrix
     d = desc_of(desc)
-    if isinstance(A, CsrMatrix) and not d.tran0:
+    if isinstance(A, CsrMatrix):
         from ..sparse.spmv import csr_mxv
+        if d.tran0:
+            A = A.T()  # host resort; large callers should cache A'
         u = u.wait()
         if u.shape[0] != A.ncols:
             raise DimensionMismatch(
@@ -366,11 +422,14 @@ def vxm(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
     """w<m> = accum(w, u'*A) (reference ``GrB_vxm``; INP1 transposes A)."""
     from ..sparse.container import CsrMatrix
     d = desc_of(desc)
-    if isinstance(A, CsrMatrix) and d.tran1:
+    if isinstance(A, CsrMatrix):
         # u' * A' = (A ⊗ᵀ u)': the CSR kernel computes mult(A_jk, u_k),
         # so flip the mult (and its domains) to preserve operand order
-        # for non-commutative multiplies (FIRST/MINUS/DIV/...)
+        # for non-commutative multiplies (FIRST/MINUS/DIV/...).  Plain
+        # u'*A first re-sorts A into CSC form (A.T() as CSR).
         from ..sparse.spmv import csr_mxv
+        if not d.tran1:
+            A = A.T()  # host resort; large callers should cache A'
         u = u.wait()
         if u.shape[0] != A.ncols:
             raise DimensionMismatch(

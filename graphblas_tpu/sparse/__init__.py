@@ -14,6 +14,8 @@ from .ewise import (csr_ewise_add, csr_ewise_mult, csr_apply,
 from .algorithms import bfs_csr, pagerank_csr
 from .pallas_bsr import (bsr_masked_mm_pallas, bsr_masked_count_pallas,
                          tricount_bsr_pallas, masked_mxm)
+from .esc import csr_spgemm
+from .mask import csr_accum_mask, csr_clear
 
 __all__ = [
     "CsrMatrix", "csr_from_coo", "pack_pattern", "popcount", "words_for",
@@ -24,4 +26,5 @@ __all__ = [
     "tricount_bsr_pallas", "masked_mxm", "csr_ewise_add",
     "csr_ewise_mult", "csr_apply", "csr_select", "csr_reduce_rows",
     "csr_reduce_scalar", "bfs_csr", "pagerank_csr",
+    "csr_spgemm", "csr_accum_mask", "csr_clear",
 ]

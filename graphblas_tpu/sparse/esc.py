@@ -1,0 +1,341 @@
+"""General sparse SpGEMM with sparse output: the ESC engine.
+
+C<M> = A *.semiring* B for CSR inputs producing CSR output at O(flops)
+memory — ANY (add monoid, mult op) pair, fused mask, no densification.
+
+This is the TPU-native answer to the reference's Gustavson engine
+(``Source/GB_AxB_Gustavson.c:139-160``: symbolic count phase + numeric
+gather/scatter via the Sauna).  A scatter-accumulator workspace is the
+wrong shape for a vector machine, so instead we use the
+expand-sort-compress (ESC) formulation, which maps SpGEMM onto the three
+primitives XLA lowers well — gather, sort, segmented reduce:
+
+  1. *expand*: every multiply the product needs, ``z_t = a_e * b_pos``,
+     is enumerated edge-parallel: lane t of the expansion finds its A
+     entry ``e`` by binary search on the cumulative B-row-degree
+     (``searchsorted``), then its B entry by offset into B's row — the
+     flop enumeration is exactly ``GB_AxB_flopcount.c``'s sum, realized
+     as lanes.
+  2. *sort*: lanes are keyed by output coordinate i*n+j and sorted
+     (stable).  Masked-out / padded lanes get the max key and fall to
+     the tail (the mask is applied BEFORE the multiply, so a masked
+     product does no arithmetic on masked lanes — mask fusion as in
+     ``GB_AxB_Gustavson_mask.c``).
+  3. *compress*: segment heads mark unique output coordinates; the add
+     monoid folds each segment (named monoids take jax.ops segment
+     reductions; arbitrary/user monoids take a segmented
+     associative_scan); head lanes scatter-compact to the padded output.
+
+Capacity planning pulls exactly two scalars to the host per call (the
+flop total and the output nnz — the analogues of the reference's
+symbolic-phase allocation in ``GB_AxB_alloc.c``); buffers are bucketed
+to powers of two so jit recompilation is bounded.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.semirings import Semiring
+from ..core.types import Type, cast
+from .container import CsrMatrix
+from .spmv import segment_reduce
+
+__all__ = ["csr_spgemm", "esc_combine"]
+
+_tmap = jax.tree_util.tree_map
+
+# monoids with a direct jax.ops segment reduction (GB_assoc_template
+# switch-factory analogue); everything else folds via segmented scan
+_SEGMENT_MONOIDS = ("PLUS", "TIMES", "MIN", "MAX", "LOR", "LAND", "LXOR",
+                    "EQ")
+
+
+def _bucket(x: int, lo: int = 128) -> int:
+    """Round up to the next power of two (>= lo) to bound jit cache."""
+    c = lo
+    while c < x:
+        c <<= 1
+    return c
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _flops_jit(a_indices, b_indptr, ncolsA: int):
+    degB = (b_indptr[1:] - b_indptr[:-1]).astype(jnp.int64)
+    degB_ext = jnp.concatenate([degB, jnp.zeros((1,), jnp.int64)])
+    # padded A lanes carry the sentinel column == ncolsA -> length 0
+    lens = degB_ext[jnp.minimum(a_indices.astype(jnp.int64), ncolsA)]
+    return jnp.sum(lens)
+
+
+def _mask_keys(M: CsrMatrix, n: int, kdt, big, structural: bool = False):
+    """Sorted truthy-entry keys of the mask (padded lanes -> big)."""
+    lane = jnp.arange(M.nzmax)
+    live = lane < M.nvals
+    if not structural:
+        if M.type.is_udt:
+            raise TypeError("mask with UDT values is not valid")
+        live = live & (M.values != 0)
+    keys = M.rowids.astype(kdt) * n + M.indices.astype(kdt)
+    keys = jnp.where(live, keys, big)
+    return jnp.sort(keys)
+
+
+def _segmented_fold(add, zs, head, seg, E, ident, ztype):
+    """Fold each sorted segment with the add monoid -> seg_vals[E+1]
+    indexed by segment id (works for arbitrary ops incl. UDT pytrees)."""
+    name = add.op.name
+    if not ztype.is_udt and name in _SEGMENT_MONOIDS:
+        red = segment_reduce(name, zs, seg, E + 1, ident)
+        return red
+    # generic: segmented inclusive scan (flag, value) — the classic
+    # segmented-scan trick; combine restarts at each head
+    def combine(l, r):
+        lf, lv = l
+        rf, rv = r
+        v = _tmap(lambda a, b: jnp.where(rf, b, a), add.op(lv, rv), rv)
+        return (lf | rf, v)
+
+    flags = head
+    _, scanned = jax.lax.associative_scan(combine, (flags, zs))
+    # segment result lives at the segment's last lane
+    is_end = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
+    tgt = jnp.where(is_end, seg, E + 1)
+    if ztype.is_udt:
+        out = _tmap(lambda i: jnp.full((E + 2,), i), dict(ident)
+                    if not isinstance(ident, dict) else ident)
+        out = _tmap(lambda o, s: o.at[tgt].set(s, mode="drop"),
+                    out, scanned)
+        return _tmap(lambda o: o[:E + 1], out)
+    out = jnp.full((E + 2,), ident, zs.dtype)
+    out = out.at[tgt].set(scanned, mode="drop")
+    return out[:E + 1]
+
+
+def _expand_lanes(a_indices, a_rowids, b_indptr, b_indices,
+                  E: int, ncolsA: int, nzmaxA: int, nzmaxB: int):
+    """Lane t -> (A entry e, B position pos, live flag, i, j)."""
+    degB = (b_indptr[1:] - b_indptr[:-1]).astype(jnp.int64)
+    degB_ext = jnp.concatenate([degB, jnp.zeros((1,), jnp.int64)])
+    acol = jnp.minimum(a_indices.astype(jnp.int64), ncolsA)
+    lens = degB_ext[acol]                      # [nzmaxA]
+    csum = jnp.cumsum(lens)                    # inclusive
+    total = csum[-1] if nzmaxA else jnp.int64(0)
+    t = jnp.arange(E, dtype=jnp.int64)
+    e = jnp.searchsorted(csum, t, side="right")
+    live = t < total
+    ec = jnp.minimum(e, nzmaxA - 1)
+    start = csum[ec] - lens[ec]
+    l = t - start
+    kk = jnp.minimum(acol[ec], ncolsA - 1)
+    pos = b_indptr[kk].astype(jnp.int64) + l
+    posc = jnp.clip(pos, 0, nzmaxB - 1)
+    i = a_rowids[ec]
+    j = b_indices[posc]
+    return ec, posc, live, i, j
+
+
+def _esc_core(sr: Semiring, E: int, m: int, n: int, k: int,
+              has_mask: bool, complement: bool, kdt,
+              a_indptr, a_indices, a_rowids, a_values,
+              b_indptr, b_indices, b_values, m_keys):
+    nzmaxA = a_indices.shape[0]
+    nzmaxB = b_indices.shape[0]
+    big = jnp.asarray(np.iinfo(np.dtype(kdt)).max, kdt)
+    sent = jnp.asarray(m * n, kdt)  # output sentinel: row m, "col" fixup
+
+    ec, posc, live, i, j = _expand_lanes(
+        a_indices, a_rowids, b_indptr, b_indices, E, k, nzmaxA, nzmaxB)
+
+    key = i.astype(kdt) * n + j.astype(kdt)
+    key = jnp.where(live, key, big)
+    if has_mask:
+        idx = jnp.searchsorted(m_keys, key)
+        idxc = jnp.minimum(idx, m_keys.shape[0] - 1)
+        member = (m_keys[idxc] == key) & (key < big)
+        keep = (~member if complement else member) & live
+        key = jnp.where(keep, key, big)
+
+    # multiply only the surviving lanes (identity elsewhere)
+    xt, yt, zt = sr.xtype, sr.ytype, sr.ztype
+    a = _tmap(lambda v: v[ec], a_values)
+    b = _tmap(lambda v: v[posc], b_values)
+    if not xt.is_udt:
+        a = cast(a, xt)
+    if not yt.is_udt:
+        b = cast(b, yt)
+    z = sr.mult(a, b)
+    ident = sr.add.identity
+    alive = key < big
+    if zt.is_udt:
+        z = _tmap(lambda zz, ii: jnp.where(alive, zz, jnp.asarray(ii)),
+                  z, dict(ident) if not isinstance(ident, dict) else ident)
+    else:
+        z = jnp.where(alive, z.astype(zt.dtype), jnp.asarray(ident, zt.dtype))
+
+    # sort by output coordinate (stable)
+    perm = jnp.argsort(key)
+    ks = key[perm]
+    zs = _tmap(lambda v: v[perm], z)
+
+    head = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    seg = (jnp.cumsum(head) - 1).astype(jnp.int32)
+
+    seg_vals = _segmented_fold(sr.add, zs, head, seg, E, ident, zt)
+
+    # compact: one output slot per live head
+    livek = ks < big
+    out_head = head & livek
+    r = (jnp.cumsum(out_head) - 1).astype(jnp.int32)
+    nnzC = jnp.sum(out_head).astype(jnp.int32)
+    tgt = jnp.where(out_head, r, E + 1)
+    out_keys = jnp.full((E + 2,), sent, kdt).at[tgt].set(ks, mode="drop")
+    hv = _tmap(lambda sv: sv[seg], seg_vals)
+    if zt.is_udt:
+        out_vals = _tmap(
+            lambda v: jnp.zeros((E + 2,), v.dtype
+                                ).at[tgt].set(v, mode="drop")[:E + 1], hv)
+    else:
+        out_vals = jnp.zeros((E + 2,), hv.dtype
+                             ).at[tgt].set(hv, mode="drop")[:E + 1]
+    out_keys = out_keys[:E + 1]
+
+    # coordinates + row-pointer assembly (sentinel -> row m, col n)
+    is_sent = out_keys == sent
+    oi = jnp.where(is_sent, m, out_keys // n).astype(jnp.int32)
+    oj = jnp.where(is_sent, n, out_keys % n).astype(jnp.int32)
+    counts = jax.ops.segment_sum(
+        (~is_sent).astype(jnp.int32), oi, num_segments=m + 1)
+    indptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts[:m]).astype(jnp.int32)])
+    return indptr, oj, oi, out_vals, nnzC
+
+
+_esc_jit = jax.jit(_esc_core,
+                   static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+
+
+def csr_spgemm(sr: Semiring, A: CsrMatrix, B: CsrMatrix,
+               mask: Optional[CsrMatrix] = None,
+               complement: bool = False,
+               structural: bool = False) -> CsrMatrix:
+    """C<M> = A *.sr* B, CSR x CSR -> CSR, any semiring, O(flops).
+
+    ``mask``: optional CsrMatrix whose truthy entries select output
+    positions (GraphBLAS valued-mask semantics); ``complement`` flips
+    it.  Two host syncs per call (flop total + output nnz), everything
+    else on device.
+    """
+    m, k = A.shape
+    k2, n = B.shape
+    if k != k2:
+        from ..core.errors import DimensionMismatch
+        raise DimensionMismatch(f"inner dims {A.shape} x {B.shape}")
+    if mask is not None and mask.shape != (m, n):
+        from ..core.errors import DimensionMismatch
+        raise DimensionMismatch(
+            f"mask {mask.shape} vs output {(m, n)}")
+    zt = sr.ztype
+
+    # key dtype: int32 sort is ~2x int64 on the VPU; fall back as needed
+    if (m + 1) * n < (1 << 31):
+        kdt = jnp.int32
+    elif (m + 1) * n < (1 << 63):
+        kdt = jnp.int64
+    else:
+        raise NotImplementedError(
+            "dimension product exceeds 2^63; use the hyper container")
+
+    flops = int(_flops_jit(A.indices, B.indptr, k))
+    if flops == 0 or (mask is not None and not complement
+                      and mask.nvals == 0):
+        return _empty_csr(m, n, zt)
+    E = _bucket(flops)
+
+    has_mask = mask is not None
+    m_keys = (_mask_keys(mask, n, kdt, np.iinfo(np.dtype(kdt)).max,
+                         structural)
+              if has_mask else jnp.zeros((1,), kdt))
+
+    indptr, oj, oi, ov, nnzC = _esc_jit(
+        sr, E, m, n, k, has_mask, complement, kdt,
+        A.indptr, A.indices, A.rowids, A.values,
+        B.indptr, B.indices, B.values, m_keys)
+    nnz = int(nnzC)
+    cap = min(_bucket(max(nnz, 8)), E + 1)
+    from ..ops.flopcount import record_axb_method
+    record_axb_method("esc:csr_spgemm")
+    return CsrMatrix(indptr, oj[:cap], oi[:cap],
+                     _tmap(lambda v: v[:cap], ov), nnz, m, n, zt)
+
+
+def _empty_csr(m: int, n: int, t: Type) -> CsrMatrix:
+    from ..core.types import zeros_like_typed
+    cap = 8
+    vals = zeros_like_typed((cap,), t)
+    return CsrMatrix(jnp.zeros((m + 1,), jnp.int32),
+                     jnp.full((cap,), n, jnp.int32),
+                     jnp.full((cap,), m, jnp.int32),
+                     vals, 0, m, n, t)
+
+
+# ---------------------------------------------------------------------------
+# shared sort-combine core for eWise merges (used by sparse.ewise)
+# ---------------------------------------------------------------------------
+
+def esc_combine(keys, tags, vals_a, vals_b, ztype,
+                union: bool, big, pair_fn, single_a_fn, single_b_fn):
+    """Device union/intersection merge of two tagged, keyed tuple sets.
+
+    ``keys``: concatenated linear keys (dead lanes == big); ``tags``:
+    False for A-lanes, True for B-lanes; ``vals_a``/``vals_b``: values
+    aligned with keys (each only meaningful on its own lanes).  A key
+    present in both sets produces ``pair_fn(a, b)``; a singleton
+    produces ``single_a_fn(a)`` / ``single_b_fn(b)`` (union=True) or is
+    dropped (union=False).  All three callables must return ``ztype``.
+    Returns (out_keys[E+1], out_vals[E+1], nnz) with dead slots keyed
+    ``big`` — the 4-case merge of ``GB_add.c`` / ``GB_emult.c`` /
+    ``GB_spec_accum.m`` as one sort + one vectorized pass.
+    """
+    E = keys.shape[0]
+    # stable sort keeps A before B for equal keys (concat order)
+    perm = jnp.argsort(keys)
+    ks = keys[perm]
+    tg = tags[perm]
+    va = _tmap(lambda v: v[perm], vals_a)
+    vb = _tmap(lambda v: v[perm], vals_b)
+    head = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    nxt_same = jnp.concatenate([ks[1:] == ks[:-1], jnp.zeros((1,), bool)])
+    live = ks < big
+    # head lane h: pair iff lane h+1 shares the key
+    def shift_down(v):
+        return jnp.concatenate([v[1:], v[-1:]])
+    vb_next = _tmap(shift_down, vb)
+    is_pair = head & nxt_same & live
+    z_pair = pair_fn(va, vb_next)
+    z_a = single_a_fn(va)
+    z_b = single_b_fn(vb)
+    if ztype.is_udt:
+        out_v = _tmap(
+            lambda zp, a, b: jnp.where(is_pair, zp, jnp.where(tg, b, a)),
+            z_pair, z_a, z_b)
+    else:
+        out_v = jnp.where(is_pair, z_pair, jnp.where(tg, z_b, z_a))
+    keep = head & live if union else is_pair
+    r = (jnp.cumsum(keep) - 1).astype(jnp.int32)
+    nnz = jnp.sum(keep).astype(jnp.int32)
+    tgt = jnp.where(keep, r, E + 1)
+    out_keys = jnp.full((E + 2,), big, ks.dtype).at[tgt].set(
+        ks, mode="drop")[:E + 1]
+    if ztype.is_udt:
+        out_vals = _tmap(lambda v: jnp.zeros((E + 2,), v.dtype).at[tgt].set(
+            v, mode="drop")[:E + 1], out_v)
+    else:
+        out_vals = jnp.zeros((E + 2,), out_v.dtype).at[tgt].set(
+            out_v, mode="drop")[:E + 1]
+    return out_keys, out_vals, nnz

@@ -79,14 +79,19 @@ def test_flopcount_and_select():
     want = sum(int(Ap[:, k].sum()) * int(Bp[k].sum()) for k in range(30))
     assert fl == want
     assert choose_axb_method(1000, 1000, 1000, 5000, 5000) == "dense-mxu"
-    # huge dense product with a tiny mask -> bitpack wins
-    m = choose_axb_method(100000, 100000, 100000, 10**6, 10**6,
-                          mnnz=10**5)
+    # bitmap-scale product with a sparse mask -> bitpack wins
+    m = choose_axb_method(10000, 10000, 10000, 10**6, 10**6,
+                          mnnz=10**4)
     assert m == "bitpack"
-    # banded structure -> bsr wins
-    m = choose_axb_method(100000, 100000, 100000, 10**6, 10**6,
+    # bitmap-scale banded structure -> bsr wins
+    m = choose_axb_method(10000, 10000, 10000, 10**6, 10**6,
                           mnnz=None, ntile_triples=3000)
     assert m == "bsr"
+    # past bitmap scale the dense engines are infeasible (n^2 arrays,
+    # n^2/32 bitpack words): the sparse ESC engine takes over
+    m = choose_axb_method(100000, 100000, 100000, 10**6, 10**6,
+                          mnnz=10**5)
+    assert m == "esc"
 
 
 def test_import_export_names():
