@@ -15,6 +15,8 @@ from .algorithms import bfs_csr, pagerank_csr
 from .pallas_bsr import (bsr_masked_mm_pallas, bsr_masked_count_pallas,
                          tricount_bsr_pallas, masked_mxm)
 from .esc import csr_spgemm
+from .tri import (masked_pair_counts, tricount_esc, ktruss_esc,
+                  allktruss_esc, csr_filter_lanes, csr_tril, csr_triu)
 from .mask import csr_accum_mask, csr_clear
 
 __all__ = [
@@ -27,4 +29,6 @@ __all__ = [
     "csr_ewise_mult", "csr_apply", "csr_select", "csr_reduce_rows",
     "csr_reduce_scalar", "bfs_csr", "pagerank_csr",
     "csr_spgemm", "csr_accum_mask", "csr_clear",
+    "masked_pair_counts", "tricount_esc", "ktruss_esc", "allktruss_esc",
+    "csr_filter_lanes", "csr_tril", "csr_triu",
 ]

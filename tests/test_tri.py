@@ -1,0 +1,136 @@
+"""Sort-free masked counting engine (sparse/tri.py): CSR-native
+triangle counting and k-truss at large scale — VERDICT round-2 #3
+(de-densify the sparse algorithms)."""
+
+import numpy as np
+import pytest
+
+import graphblas_tpu.sparse as sp
+from graphblas_tpu.core.matrix import Matrix
+from graphblas_tpu.core.semirings import semiring
+from graphblas_tpu.core.types import BOOL, INT32, UINT32
+from graphblas_tpu.sparse.container import CsrMatrix
+
+
+def sym_graph(rng, n, nedges):
+    """Random symmetric loopless multigraph as deduped COO."""
+    i = rng.integers(0, n, nedges)
+    j = rng.integers(0, n, nedges)
+    keep = i != j
+    i, j = i[keep], j[keep]
+    I = np.concatenate([i, j])
+    J = np.concatenate([j, i])
+    X = np.ones(len(I), np.uint32)
+    return I, J, X
+
+
+def dense_tricount(n, I, J):
+    A = np.zeros((n, n), np.int64)
+    A[I, J] = 1
+    return int(np.trace(A @ A @ A)) // 6
+
+
+def test_csr_tril_triu(rng):
+    n = 40
+    I, J, X = sym_graph(rng, n, 150)
+    A = CsrMatrix.from_coo(I, J, X, n, n, type=UINT32)
+    L = sp.csr_tril(A)
+    U = sp.csr_triu(A)
+    Il, Jl, _ = L.extractTuples()
+    Iu, Ju, _ = U.extractTuples()
+    assert np.all(Jl < Il) and np.all(Ju > Iu)
+    assert L.nvals + U.nvals == A.nvals  # no diagonal in sym_graph
+    # CSR invariants survive the filter
+    ip = np.asarray(L.indptr)
+    assert ip[0] == 0 and ip[-1] == L.nvals
+    assert np.all(np.diff(ip) >= 0)
+    # entries stay sorted by (row, col)
+    lin = Il * n + Jl
+    assert np.all(np.diff(lin) > 0)
+
+
+def test_tricount_csr_matches_dense_and_bitpack(rng):
+    n = 120
+    I, J, X = sym_graph(rng, n, 900)
+    want = dense_tricount(n, I, J)
+    A_csr = CsrMatrix.from_coo(I, J, X, n, n, type=UINT32)
+    A_bm = Matrix.from_coo(I, J, X.astype(bool), n, n, type=BOOL)
+    assert sp.tricount_sparse(A_csr) == want
+    assert sp.tricount_sparse(A_bm) == want
+    # both Sandia forms of the ESC counter agree
+    L = sp.csr_tril(A_csr)
+    U = sp.csr_triu(A_csr)
+    assert sp.tricount_esc(L) == want          # (L.L)<L
+    assert sp.tricount_esc(L, U) == want       # (L.U)<L
+
+
+def test_masked_pair_counts_vs_esc_spgemm(rng):
+    """The binary-search counter must agree with the general ESC
+    engine (full sort) on PLUS_PAIR — engine-vs-engine differential."""
+    m, k, n = 33, 47, 29
+    def rand_csr(r, c, nnz):
+        I = rng.integers(0, r, nnz)
+        J = rng.integers(0, c, nnz)
+        return CsrMatrix.from_coo(I, J, np.ones(nnz, np.int32), r, c,
+                                  type=INT32)
+    A = rand_csr(m, k, 200)
+    B = rand_csr(k, n, 200)
+    M = rand_csr(m, n, 150)
+    counts = np.asarray(sp.masked_pair_counts(M, A, B))
+    sr = semiring.plus_pair[INT32]
+    C = sp.csr_spgemm(sr, A, B, mask=M)
+    Ic, Jc, Xc = C.extractTuples()
+    got = {(int(i), int(j)): int(x) for i, j, x in zip(Ic, Jc, Xc)}
+    Im, Jm, _ = M.extractTuples()
+    for e in range(M.nvals):
+        ij = (int(Im[e]), int(Jm[e]))
+        assert counts[e] == got.get(ij, 0), f"mismatch at {ij}"
+    assert np.all(counts[M.nvals:] == 0)
+
+
+def test_ktruss_csr_matches_bitmap(rng):
+    n = 80
+    I, J, X = sym_graph(rng, n, 600)
+    A_csr = CsrMatrix.from_coo(I, J, X, n, n, type=UINT32)
+    A_bm = Matrix.from_coo(I, J, X.astype(bool), n, n, type=BOOL)
+    for k in (3, 4, 5):
+        (Ic, Jc, Sc), _ = sp.ktruss_sparse(A_csr, k)
+        (Ib, Jb, Sb), _ = sp.ktruss_sparse(A_bm, k)
+        got = {(int(i), int(j)): int(s) for i, j, s in zip(Ic, Jc, Sc)}
+        want = {(int(i), int(j)): int(s) for i, j, s in zip(Ib, Jb, Sb)}
+        assert got == want
+
+
+def test_tricount_csr_large_no_densify(rng):
+    """n = 300_000 (dense bitmap would need 90 GB bools): the CSR
+    engine runs, and two independent formulations agree."""
+    n = 300_000
+    I, J, X = sym_graph(rng, n, 60_000)
+    # add some triangles explicitly so the count is nonzero
+    base = rng.integers(0, n - 3, 50)
+    ti = np.concatenate([base, base, base + 1])
+    tj = np.concatenate([base + 1, base + 2, base + 2])
+    I = np.concatenate([I, ti, tj])
+    J = np.concatenate([J, tj, ti])
+    X = np.ones(len(I), np.uint32)
+    A = CsrMatrix.from_coo(I, J, X, n, n, type=UINT32)
+    L = sp.csr_tril(A)
+    U = sp.csr_triu(A)
+    nt1 = sp.tricount_esc(L)
+    nt2 = sp.tricount_esc(L, U)
+    assert nt1 == nt2
+    assert nt1 >= 50  # the planted triangles are there
+
+
+def test_allktruss_csr_matches_bitmap(rng):
+    from graphblas_tpu.models.ktruss import allktruss
+    n = 60
+    I, J, X = sym_graph(rng, n, 400)
+    A_csr = CsrMatrix.from_coo(I, J, X, n, n, type=UINT32)
+    A_bm = Matrix.from_coo(I, J, X.astype(bool), n, n, type=BOOL)
+    got = sp.allktruss_esc(A_csr)
+    want = allktruss(A_bm)
+    assert {k: v["nedges"] for k, v in got.items()} == \
+           {k: v["nedges"] for k, v in want.items()}
+    assert {k: v["nt"] for k, v in got.items()} == \
+           {k: v["nt"] for k, v in want.items()}
