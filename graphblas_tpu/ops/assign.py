@@ -77,7 +77,14 @@ def assign(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
 
     Transcribes ``Test/GB_spec_assign.m`` exactly: Z = C; Z(I,J) =
     accum(C(I,J), A); then C<M> = Z with C_replace over all of C.
+
+    A CsrMatrix ``C`` routes to the O(nnz) sparse form
+    (:func:`graphblas_tpu.sparse.assign.csr_assign`).
     """
+    from ..sparse.container import CsrMatrix
+    if isinstance(C, CsrMatrix):
+        from ..sparse.assign import csr_assign
+        return csr_assign(C, M, accum, A, I, J, desc, scalar=scalar)
     d = desc_of(desc)
     C = C.wait()
     if M is not None:
@@ -105,7 +112,13 @@ def subassign(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
               desc: Optional[Descriptor] = None, *,
               scalar: bool = False) -> Matrix:
     """C(I,J)<M> = accum(C(I,J), A) — GxB_subassign; M is |I| x |J|;
-    entries outside C(I,J) are never modified (``GB_spec_subassign.m``)."""
+    entries outside C(I,J) are never modified (``GB_spec_subassign.m``).
+
+    A CsrMatrix ``C`` routes to the O(nnz) sparse form."""
+    from ..sparse.container import CsrMatrix
+    if isinstance(C, CsrMatrix):
+        from ..sparse.assign import csr_subassign
+        return csr_subassign(C, M, accum, A, I, J, desc, scalar=scalar)
     d = desc_of(desc)
     C = C.wait()
     Ii = normalize_indices(I, C.nrows)

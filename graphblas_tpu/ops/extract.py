@@ -27,7 +27,22 @@ _tmap = jax.tree_util.tree_map
 def extract(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
             A: Matrix, I: Any = None, J: Any = None,
             desc: Optional[Descriptor] = None) -> Matrix:
-    """C<M> = accum(C, A(I,J)) (reference ``GrB_Matrix_extract``)."""
+    """C<M> = accum(C, A(I,J)) (reference ``GrB_Matrix_extract``).
+
+    A CsrMatrix ``C`` routes to the O(nnz) sparse form; a CsrMatrix
+    ``A`` with a bitmap ``C`` extracts sparsely then lands the
+    (region-sized) result on the bitmap — A itself is never densified.
+    """
+    from ..sparse.container import CsrMatrix
+    if isinstance(C, CsrMatrix):
+        from ..sparse.assign import csr_extract
+        return csr_extract(C, M, accum, A, I, J, desc)
+    if isinstance(A, CsrMatrix):
+        from ..sparse.assign import csr_subref
+        d = desc_of(desc)
+        At = A.T() if d.tran0 else A
+        T = csr_subref(At, I, J).to_matrix()
+        return accum_mask(C, M, T, accum, d)
     d = desc_of(desc)
     A = A.wait()
     vals, pat = A.values, A.pattern

@@ -18,6 +18,8 @@ from .esc import csr_spgemm
 from .tri import (masked_pair_counts, tricount_esc, ktruss_esc,
                   allktruss_esc, csr_filter_lanes, csr_tril, csr_triu)
 from .mask import csr_accum_mask, csr_clear
+from .assign import (csr_subref, csr_extract, csr_assign, csr_subassign,
+                     csr_assign_scalar, csr_subassign_scalar)
 
 __all__ = [
     "CsrMatrix", "csr_from_coo", "pack_pattern", "popcount", "words_for",
@@ -31,4 +33,6 @@ __all__ = [
     "csr_spgemm", "csr_accum_mask", "csr_clear",
     "masked_pair_counts", "tricount_esc", "ktruss_esc", "allktruss_esc",
     "csr_filter_lanes", "csr_tril", "csr_triu",
+    "csr_subref", "csr_extract", "csr_assign", "csr_subassign",
+    "csr_assign_scalar", "csr_subassign_scalar",
 ]
