@@ -62,15 +62,20 @@ def main():
     A = fixed_graph(n)
     results = {}
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev]
+    from graphblas_tpu.sparse.container import CsrMatrix
+    Ac = CsrMatrix.from_matrix(A)
     for d in sizes:
         mesh = par.make_mesh(d)
         t_tri = time_it(lambda: par.dist_tricount(A, mesh))
         t_pr = time_it(lambda: par.dist_pagerank(A, iters=10, mesh=mesh))
-        results[d] = (t_tri, t_pr)
+        # O(nnz/d) paths: ring-rotating sharded-CSR masked SpGEMM
+        t_tric = time_it(lambda: par.dist_tricount_csr(Ac, mesh))
+        results[d] = (t_tri, t_pr, t_tric)
         print(json.dumps({"metric": "strong_scaling", "devices": d,
                           "n": n,
                           "tricount_s": round(t_tri, 4),
-                          "pagerank10_s": round(t_pr, 4)}))
+                          "pagerank10_s": round(t_pr, 4),
+                          "tricount_csr_s": round(t_tric, 4)}))
     if len(sizes) > 1:
         d0, dN = sizes[0], sizes[-1]
         eff_tri = results[d0][0] / (dN * results[dN][0])

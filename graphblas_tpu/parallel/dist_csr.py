@@ -6,13 +6,16 @@ graphs need O(nnz/d).  Here each device holds a *CSR slab* of rows
 SpMV is the edge-parallel gather + segment-sum kernel run inside
 ``shard_map``:
 
-* ``dist_csr_mxv``: y = A·x with A row-slabbed and x replicated — the
-  output lands row-sharded with ZERO collectives (each device owns its
-  rows); one ``all_gather`` republishes y when the next iteration needs
-  it, which is the frontier exchange of BFS/PageRank at scale.
+* ``dist_csr_mxv``: y = A *.sr* x for ANY named semiring and dtype,
+  with A row-slabbed and x replicated — the output lands row-sharded
+  with ZERO collectives (each device owns its rows); one ``all_gather``
+  republishes y when the next iteration needs it, which is the frontier
+  exchange of BFS/PageRank at scale.
 
 This is the direct realization of SURVEY §5's "row/block partitioning of
-CSR across the mesh with halo exchange of frontier vectors".
+CSR across the mesh with halo exchange of frontier vectors".  The
+sharded masked SpGEMM (B slabs rotating over the ICI ring) lives in
+:mod:`graphblas_tpu.parallel.dist_spgemm`.
 """
 
 from __future__ import annotations
@@ -26,6 +29,8 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.matrix import Matrix, np_bool
+from ..core.semirings import Semiring
+from ..core.types import Type, FP32, type_of_dtype
 from .mesh import make_mesh, pad_to_multiple
 
 __all__ = ["DistCsr", "dist_csr_from_matrix", "dist_csr_mxv",
@@ -38,11 +43,11 @@ class DistCsr:
     rowptr:  [d, blk+1] int32 (per-slab indptr)
     indices: [d, nzpad] int32 (column ids; ncols = identity sentinel)
     locrow:  [d, nzpad] int32 (row id *within the slab*; blk = sentinel)
-    values:  [d, nzpad] float32
+    values:  [d, nzpad] of the matrix dtype (bool staged as uint8)
     """
 
     def __init__(self, rowptr, indices, locrow, values, mesh: Mesh,
-                 nrows: int, ncols: int, blk: int):
+                 nrows: int, ncols: int, blk: int, type: Type = FP32):
         self.rowptr = rowptr
         self.indices = indices
         self.locrow = locrow
@@ -51,6 +56,7 @@ class DistCsr:
         self.nrows = nrows
         self.ncols = ncols
         self.blk = blk
+        self.type = type
 
     @property
     def ndev(self) -> int:
@@ -67,9 +73,13 @@ def dist_csr_from_matrix(A, mesh: Optional[Mesh] = None,
         A = A.wait()
         I, J, X = A.extractTuples()
         nr, nc = A.nrows, A.ncols
+        t = A.type
     else:  # CsrMatrix / anything with extractTuples + shape
         I, J, X = A.extractTuples()
         nr, nc = A.shape
+        t = getattr(A, "type", None) or type_of_dtype(np.asarray(X).dtype)
+    if t.is_udt:
+        raise TypeError("DistCsr does not hold UDT values")
     nrows, ncols = (nc, nr) if transpose else (nr, nc)
     if transpose:
         I, J = J, I
@@ -82,18 +92,20 @@ def dist_csr_from_matrix(A, mesh: Optional[Mesh] = None,
     nz_per_dev = np.bincount(dev, minlength=d)
     nzpad = pad_to_multiple(max(int(nz_per_dev.max()), 8), 128)
 
+    # bool values are staged as uint8 (bool host<->device transfers are
+    # pathologically slow through the tunnel; see core/matrix.np_bool)
+    vdt = np.uint8 if np.dtype(t.dtype) == np.bool_ else np.dtype(t.dtype)
     rowptr = np.zeros((d, blk + 1), np.int32)
     indices = np.full((d, nzpad), ncols, np.int32)
     locrow = np.full((d, nzpad), blk, np.int32)
-    values = np.zeros((d, nzpad), np.float32)
+    values = np.zeros((d, nzpad), vdt)
     for p in range(d):
         sel = dev == p
         Jp, Lp, Xp = J[sel], loc[sel], X[sel]
         k = len(Jp)
         indices[p, :k] = Jp
         locrow[p, :k] = Lp
-        values[p, :k] = np.asarray(Xp, np.float32) if Xp.dtype != bool \
-            else Xp.astype(np.float32)
+        values[p, :k] = np.asarray(Xp).astype(vdt, copy=False)
         cnt = np.bincount(Lp, minlength=blk)
         rowptr[p, 1:] = np.cumsum(cnt)
 
@@ -102,29 +114,42 @@ def dist_csr_from_matrix(A, mesh: Optional[Mesh] = None,
                    jax.device_put(jnp.asarray(indices), sh),
                    jax.device_put(jnp.asarray(locrow), sh),
                    jax.device_put(jnp.asarray(values), sh),
-                   mesh, nrows, ncols, blk)
+                   mesh, nrows, ncols, blk, t)
 
 
-def _local_spmv(indices, locrow, values, x_ext, blk):
-    """One slab's y = A_slab @ x (plus_times): gather + segment-sum."""
+def _local_spmv(sr: Optional[Semiring], indices, locrow, values, x_ext,
+                blk):
+    """One slab's y = A_slab *.sr* x: gather + mult + segment-reduce
+    (the edge-parallel kernel of sparse/spmv.py, per shard)."""
+    from ..sparse.spmv import _mult_apply, segment_reduce
     xg = jnp.take(x_ext, indices[0], axis=0)
-    contrib = values[0] * xg
-    y = jax.ops.segment_sum(contrib, locrow[0],
-                            num_segments=blk + 1)[:blk]
-    return y[None]
+    if sr is None:  # legacy fast path: plus_times on the stored dtype
+        contrib = values[0].astype(xg.dtype) * xg
+        y = jax.ops.segment_sum(contrib, locrow[0],
+                                num_segments=blk + 1)[:blk]
+        return y[None]
+    from ..core.types import cast as gbcast
+    ident = sr.add.identity
+    a = gbcast(values[0], sr.xtype)
+    z = _mult_apply(sr, a, xg)
+    live = locrow[0] < blk
+    z = jnp.where(live, z, jnp.asarray(ident, z.dtype))
+    y = segment_reduce(sr.add.op.name, z, jnp.minimum(locrow[0], blk),
+                       blk + 1, ident)[:blk]
+    return y.astype(sr.ztype.dtype)[None]
 
 
 _PROG_CACHE = {}
 
 
-def _mxv_prog(mesh: Mesh, blk: int):
-    key = (id(mesh), blk)
+def _mxv_prog(mesh: Mesh, blk: int, sr: Optional[Semiring]):
+    key = (id(mesh), blk, sr)
     f = _PROG_CACHE.get(key)
     if f is not None:
         return f
 
     def local(rowptr, indices, locrow, values, x_ext):
-        y = _local_spmv(indices, locrow, values, x_ext, blk)
+        y = _local_spmv(sr, indices, locrow, values, x_ext, blk)
         return y
     f = jax.jit(shard_map(
         local, mesh=mesh,
@@ -134,12 +159,23 @@ def _mxv_prog(mesh: Mesh, blk: int):
     return f
 
 
-def dist_csr_mxv(D: DistCsr, x) -> jnp.ndarray:
-    """y = A·x (plus_times); y comes back row-sharded (concatenated
-    slabs, padded length), zero collectives."""
-    x = jnp.asarray(x, jnp.float32)
-    x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
-    prog = _mxv_prog(D.mesh, D.blk)
+def dist_csr_mxv(D: DistCsr, x, sr: Optional[Semiring] = None
+                 ) -> jnp.ndarray:
+    """y = A *.sr* x (default: plus_times on x's dtype); y comes back
+    row-sharded (concatenated slabs, padded length), zero collectives.
+    Any named (add, mult) pair works — the add monoid must have a
+    segment reduction (PLUS/TIMES/MIN/MAX/LOR/LAND/LXOR/EQ)."""
+    if sr is None:
+        x = jnp.asarray(x, jnp.float32)
+        xfill = jnp.zeros((1,), x.dtype)
+    else:
+        from ..core.types import cast as gbcast
+        x = gbcast(jnp.asarray(x), sr.ytype)
+        # the sentinel slot must be harmless: dead lanes are identity-
+        # washed in the kernel, so any in-domain value works
+        xfill = jnp.zeros((1,), x.dtype)
+    x_ext = jnp.concatenate([x, xfill])
+    prog = _mxv_prog(D.mesh, D.blk, sr)
     y = prog(D.rowptr, D.indices, D.locrow, D.values, x_ext)
     return y.reshape(-1)[:D.nrows]
 

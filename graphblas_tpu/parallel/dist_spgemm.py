@@ -1,0 +1,248 @@
+"""Sharded-CSR masked SpGEMM: B slabs rotate the ICI ring.
+
+C<M> = A *.sr* B with A, B, and M all row-slabbed over a 1-D mesh at
+O(nnz/d) per device.  Each of the d steps, every device computes the
+partial products its A slab forms against the B slab it currently
+holds, folds them into its mask-aligned accumulator with the add
+monoid, and ``ppermute``s the B slab to its ring neighbour — the
+classic systolic SpGEMM, with the per-step compute expressed as the
+same chunked lane expansion + mask binary search as the single-chip
+counting engine (:mod:`graphblas_tpu.sparse.tri`).
+
+This is SURVEY §7 step 8's "distributed masked SpGEMM (halo exchange of
+B rows ..., overlap with local compute)": the halo exchange is the ring
+rotation, and because the add monoid is associative/commutative the
+partial folds across steps commute with the within-step folds.
+
+The reference never built this (``GB_AxB_parallel.c:52-74`` is the
+stubbed slice design); the MPI extra (``kron_mpi.c``) has zero
+communication.  Supported add monoids are those with a native scatter
+fold (PLUS/MIN/MAX/TIMES/LOR/LAND); any multiply op works.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.semirings import Semiring
+from ..core.types import cast as gbcast
+from ..sparse.container import CsrMatrix, csr_from_coo
+from ..sparse.esc import _bucket
+from .dist_csr import DistCsr, dist_csr_from_matrix
+from .mesh import make_mesh, pad_to_multiple
+
+__all__ = ["dist_masked_spgemm", "dist_tricount_csr"]
+
+# add monoids with a jnp scatter fold (GB_assoc_template switch factory,
+# scatter form); others would need a sort per step — not offered yet
+_SCATTER_FOLDS = {
+    "PLUS": lambda acc, tgt, z: acc.at[tgt].add(z, mode="drop"),
+    "TIMES": lambda acc, tgt, z: acc.at[tgt].multiply(z, mode="drop"),
+    "MIN": lambda acc, tgt, z: acc.at[tgt].min(z, mode="drop"),
+    "MAX": lambda acc, tgt, z: acc.at[tgt].max(z, mode="drop"),
+    "LOR": lambda acc, tgt, z: acc.at[tgt].max(z, mode="drop"),
+    "LAND": lambda acc, tgt, z: acc.at[tgt].min(z, mode="drop"),
+}
+
+
+def _slab_mask_keys(M: CsrMatrix, d: int, blk: int, kdt
+                    ) -> Tuple[np.ndarray, list]:
+    """Row-slab M into per-device sorted local keys [d, nzpad]; also
+    return the per-slab global (I, J) tuples for output assembly."""
+    I, J, _ = M.extractTuples()
+    n = M.ncols
+    big = np.iinfo(np.dtype(kdt)).max
+    dev = (I // blk).astype(np.int64)
+    nz_per = np.bincount(dev, minlength=d)
+    nzpad = pad_to_multiple(max(int(nz_per.max()), 8), 128)
+    keys = np.full((d, nzpad), big, np.dtype(kdt))
+    tuples = []
+    for p in range(d):
+        sel = dev == p
+        Ip, Jp = I[sel], J[sel]
+        k = len(Ip)
+        keys[p, :k] = (Ip - p * blk).astype(np.dtype(kdt)) * n \
+            + Jp.astype(np.dtype(kdt))
+        tuples.append((Ip, Jp))
+    return keys, tuples
+
+
+def _as_csr(A) -> CsrMatrix:
+    if isinstance(A, CsrMatrix):
+        return A
+    return CsrMatrix.from_matrix(A.wait())
+
+
+_PROG_CACHE = {}
+
+
+def _spgemm_prog(mesh: Mesh, sr: Semiring, d: int, blkA: int, blkB: int,
+                 n: int, chunk: int, kdt, zdt):
+    key = (id(mesh), sr, d, blkA, blkB, n, chunk, np.dtype(kdt).name,
+           np.dtype(zdt).name)
+    f = _PROG_CACHE.get(key)
+    if f is not None:
+        return f
+
+    fold = _SCATTER_FOLDS[sr.add.op.name]
+    ident = sr.add.identity
+    big = np.iinfo(np.dtype(kdt)).max
+
+    def local(a_idx, a_loc, a_val, b_rowptr, b_idx, b_val, m_keys):
+        a_idx, a_loc, a_val = a_idx[0], a_loc[0], a_val[0]
+        b_rowptr, b_idx, b_val = b_rowptr[0], b_idx[0], b_val[0]
+        m_keys = m_keys[0]
+        nzA = a_idx.shape[0]
+        nzB = b_idx.shape[0]
+        nzM = m_keys.shape[0]
+        pidx = jax.lax.axis_index("i")
+        av = gbcast(a_val, sr.xtype)
+        # the accumulators start replicated but the fold depends on the
+        # device index — mark them mesh-varying for the scan carry
+        acc = jax.lax.pcast(jnp.full((nzM + 1,), ident, zdt),
+                            ("i",), to="varying")
+        npres = jax.lax.pcast(jnp.zeros((nzM + 1,), jnp.int32),
+                              ("i",), to="varying")
+
+        def step(s, carry):
+            b_rowptr, b_idx, b_val, acc, npres = carry
+            base = ((pidx - s) % d).astype(jnp.int32) * blkB
+            kk = a_idx - base
+            valid = (kk >= 0) & (kk < blkB)
+            kkc = jnp.clip(kk, 0, blkB - 1)
+            # int32 lane arithmetic: a 64-bit cumsum inside shard_map
+            # compiles to an emulated (hi,lo) reduce-window that blows
+            # the VMEM scope on TPU; per-device per-step flops < 2^31
+            # is a non-binding limit at any practical chunking
+            deg = jnp.where(
+                valid, b_rowptr[kkc + 1] - b_rowptr[kkc],
+                jnp.int32(0))
+            csum = jnp.cumsum(deg)
+            total = csum[-1]
+            nch = (total + chunk - 1) // chunk
+
+            bv = gbcast(b_val, sr.ytype)
+
+            def chunk_body(c, st):
+                acc, npres = st
+                t = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+                e = jnp.searchsorted(csum, t, side="right")
+                lv = t < total
+                ec = jnp.minimum(e, nzA - 1)
+                start = csum[ec] - deg[ec]
+                l = t - start
+                pos = jnp.clip(b_rowptr[kkc[ec]] + l, 0, nzB - 1)
+                i_loc = a_loc[ec]
+                j = b_idx[pos]
+                keyv = jnp.where(
+                    lv, i_loc.astype(kdt) * n + j.astype(kdt),
+                    jnp.asarray(big, kdt))
+                idx = jnp.searchsorted(m_keys, keyv)
+                idxc = jnp.minimum(idx, nzM - 1)
+                member = (m_keys[idxc] == keyv) & lv
+                z = sr.mult(av[ec], bv[pos])
+                z = jnp.where(member, z.astype(zdt),
+                              jnp.asarray(ident, zdt))
+                tgt = jnp.where(member, idxc, nzM)
+                return fold(acc, tgt, z), \
+                    npres.at[tgt].add(member.astype(jnp.int32),
+                                      mode="drop")
+
+            acc, npres = jax.lax.fori_loop(0, nch, chunk_body,
+                                           (acc, npres))
+            perm = [(k, (k + 1) % d) for k in range(d)]
+            b_rowptr = jax.lax.ppermute(b_rowptr, "i", perm)
+            b_idx = jax.lax.ppermute(b_idx, "i", perm)
+            b_val = jax.lax.ppermute(b_val, "i", perm)
+            return b_rowptr, b_idx, b_val, acc, npres
+
+        _, _, _, acc, npres = jax.lax.fori_loop(
+            0, d, step, (b_rowptr, b_idx, b_val, acc, npres))
+        return acc[None, :nzM], npres[None, :nzM]
+
+    f = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("i", None),) * 7,
+        out_specs=(P("i", None), P("i", None))))
+    _PROG_CACHE[key] = f
+    return f
+
+
+def dist_masked_spgemm(sr: Semiring, A, B, M,
+                       mesh: Optional[Mesh] = None,
+                       chunk: int = 1 << 18) -> CsrMatrix:
+    """C<M> = A *.sr* B over the mesh; A/B/M row-slabbed, B ring-
+    rotated; returns the assembled CsrMatrix (pattern = mask entries
+    that received at least one product, GraphBLAS product-pattern
+    semantics)."""
+    mesh = mesh or make_mesh()
+    d = int(np.prod(mesh.devices.shape))
+    A = _as_csr(A)
+    B = _as_csr(B)
+    M = _as_csr(M)
+    m, k = A.shape
+    k2, n = B.shape
+    if k != k2:
+        from ..core.errors import DimensionMismatch
+        raise DimensionMismatch(f"inner dims {A.shape} x {B.shape}")
+    if M.shape != (m, n):
+        from ..core.errors import DimensionMismatch
+        raise DimensionMismatch(f"mask {M.shape} vs product {(m, n)}")
+    if sr.add.op.name not in _SCATTER_FOLDS:
+        raise NotImplementedError(
+            f"distributed masked SpGEMM needs a scatter-fold add monoid "
+            f"(PLUS/MIN/MAX/TIMES/LOR/LAND), got {sr.add.op.name}")
+
+    DA = dist_csr_from_matrix(A, mesh)
+    DB = dist_csr_from_matrix(B, mesh)
+    blkA, blkB = DA.blk, DB.blk
+    kdt = jnp.int32 if (blkA + 1) * n < (1 << 31) else jnp.int64
+    m_keys_np, m_tuples = _slab_mask_keys(M, d, blkA, kdt)
+    sh = NamedSharding(mesh, P("i", None))
+    m_keys = jax.device_put(jnp.asarray(m_keys_np), sh)
+
+    zdt = np.dtype(sr.ztype.dtype)
+    if zdt == np.bool_:
+        zdt = np.uint8  # staged; cast back at assembly
+    prog = _spgemm_prog(mesh, sr, d, blkA, blkB, n, chunk, kdt, zdt)
+    acc, npres = prog(DA.indices, DA.locrow, DA.values,
+                      DB.rowptr, DB.indices, DB.values, m_keys)
+    acc = np.asarray(acc)
+    npres = np.asarray(npres)
+
+    # assemble: per-slab mask tuples are in global CSR order
+    Is, Js, Xs = [], [], []
+    for p in range(d):
+        Ip, Jp = m_tuples[p]
+        kp = len(Ip)
+        pres = npres[p, :kp] > 0
+        Is.append(Ip[pres])
+        Js.append(Jp[pres])
+        Xs.append(acc[p, :kp][pres])
+    I = np.concatenate(Is) if Is else np.zeros(0, np.int64)
+    J = np.concatenate(Js) if Js else np.zeros(0, np.int64)
+    X = np.concatenate(Xs) if Xs else np.zeros(0, zdt)
+    X = X.astype(sr.ztype.dtype, copy=False)
+    return csr_from_coo(I, J, X, m, n, type=sr.ztype,
+                        sum_duplicates=False)
+
+
+def dist_tricount_csr(A, mesh: Optional[Mesh] = None,
+                      chunk: int = 1 << 18) -> int:
+    """Distributed Sandia triangle count on CSR slabs:
+    ntri = reduce(+, (L *.plus_pair* L)<L>) over the mesh."""
+    from ..core.semirings import semiring
+    from ..core.types import INT32
+    from ..sparse.tri import csr_tril
+    L = csr_tril(_as_csr(A))
+    C = dist_masked_spgemm(semiring.plus_pair[INT32], L, L, L,
+                           mesh=mesh, chunk=chunk)
+    vals = np.asarray(C.values)[:C.nvals]
+    return int(vals.astype(np.int64).sum())
