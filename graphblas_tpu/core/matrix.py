@@ -451,7 +451,8 @@ class Matrix(_Base):
         pat = np_bool(m.pattern)
         I, J = np.nonzero(pat)
         if self.type.is_udt:
-            X = {k: np.asarray(v)[I, J] for k, v in m.values.items()}
+            X = jax.tree_util.tree_map(lambda v: np.asarray(v)[I, J],
+                                       m.values)
         else:
             X = np.asarray(m.values)[I, J]
         return I.astype(np.int64), J.astype(np.int64), X

@@ -30,7 +30,8 @@ from ..ops.mxm import vxm
 from ..ops.reduce import reduce_to_scalar, reduce_to_vector
 
 __all__ = ["drowscale", "irowscale", "dpagerank", "ipagerank",
-           "dpagerank2", "pagerank_jit", "PAGERANK_TYPE"]
+           "dpagerank2", "dpagerank2_csr", "pagerank_jit",
+           "PAGERANK_TYPE"]
 
 ZSCALE = np.uint64(1) << np.uint64(30)
 
@@ -242,6 +243,80 @@ def dpagerank2(A: Matrix, itermax: int = 100, tol: float = 1e-5
     rd = gb_apply(rd, None, None,
                   UnaryOp("PR_DIV", lambda x: x / s, FP64, FP64), rd)
     I, X = rd.extractTuples()
+    order = np.argsort(-X, kind="stable")
+    return [(int(I[k]), float(X[k])) for k in order], iters
+
+
+def dpagerank2_csr(A, itermax: int = 100, tol: float = 1e-5
+                   ) -> Tuple[List[Tuple[int, float]], int]:
+    """:func:`dpagerank2` on a ``CsrMatrix`` — the UDT PageRank semiring
+    running through the sparse container's generic pytree SpMV
+    (``csr_mxv`` UDT path + ``segment_reduce_sorted``), at O(nnz)
+    memory.  Semantics mirror the bitmap version exactly, including the
+    GrB accum rule (absent-C, present-T positions take T verbatim) and
+    the eWiseAdd-based rdiff, so the two are differentially testable.
+    VERDICT round-2 #8."""
+    from ..sparse.container import CsrMatrix
+    from ..sparse.spmv import csr_mxv
+    if not isinstance(A, CsrMatrix):
+        A = CsrMatrix.from_matrix(A)
+    n = A.nrows
+    damping = 0.85
+    teleport = (1 - damping) / n
+    init_rank = 1.0 / n
+
+    # dout = plus-reduce of A's rows as FP64 (pattern: nonempty rows)
+    live = jnp.arange(A.nzmax) < A.nvals
+    av = jnp.where(live, jnp.asarray(A.values).astype(jnp.float64), 0.0)
+    dout = jax.ops.segment_sum(av, jnp.minimum(A.rowids, n),
+                               num_segments=n + 1)[:n]
+    rp = np.asarray(A.row_degrees()) > 0
+    rp = jnp.asarray(rp)
+    r = {"rank": jnp.where(rp, init_rank, 0.0),
+         "invdegree": jnp.where(rp, 1.0 / dout, 0.0)}
+
+    pr_mult, pr_add, pr_monoid, pr_semiring = pagerank_ops()
+    # csr_mxv computes mult(a_edge, x_gathered); the PageRank multiply
+    # is mult(x, edge) — flip (the reference's flipxy handling,
+    # ``GB_AxB_dot_flipxy.c``)
+    flip = BinaryOp("PAGERANK_MULT_FLIP",
+                    lambda a, x: pr_mult.fn(x, a),
+                    PAGERANK_TYPE, BOOL, PAGERANK_TYPE)
+    sr = semiring_new(pr_monoid, flip)
+
+    # vxm: x' A = (A')x — shard A' rows; bool-ify values like dpagerank2
+    AT = A.T()
+    ATb = CsrMatrix(AT.indptr, AT.indices, AT.rowids,
+                    jnp.asarray(AT.values, bool) if not AT.type.is_udt
+                    else AT.values,
+                    AT.nvals, AT.nrows, AT.ncols, BOOL)
+
+    tol2 = tol * tol
+    rdiff = 1.0
+    iters = 0
+    while iters < itermax and rdiff > tol2:
+        y, tp = csr_mxv(sr, ATb, r, x_pattern=rp)
+        both = tp & rp
+        only_t = tp & ~rp
+        rank_new = jnp.where(both, damping * y["rank"] + teleport,
+                             jnp.where(only_t, y["rank"], r["rank"]))
+        inv_new = jnp.where(only_t, y["invdegree"], r["invdegree"])
+        new_pat = rp | tp
+        rnew = {"rank": rank_new, "invdegree": inv_new}
+        # rdiff via the same eWiseAdd(pr_diff) shape: intersection gets
+        # (dr)^2, only-new entries contribute their raw rank
+        isec = rp & new_pat
+        d = jnp.where(isec, (r["rank"] - rank_new) ** 2,
+                      jnp.where(new_pat, rank_new, 0.0))
+        rdiff = float(jnp.sum(jnp.where(new_pat | rp, d, 0.0)))
+        r, rp = rnew, new_pat
+        iters += 1
+
+    rpn = np.asarray(rp)
+    ranks = np.asarray(r["rank"])
+    s = float(ranks[rpn].sum())
+    I = np.nonzero(rpn)[0]
+    X = ranks[rpn] / s
     order = np.argsort(-X, kind="stable")
     return [(int(I[k]), float(X[k])) for k in order], iters
 

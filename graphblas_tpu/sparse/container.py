@@ -78,29 +78,42 @@ class CsrMatrix:
 
     @staticmethod
     def from_matrix(A: Matrix, nzmax: Optional[int] = None) -> "CsrMatrix":
-        """Bitmap Matrix -> padded CSR (host-side O(nnz) conversion)."""
+        """Bitmap Matrix -> padded CSR (host-side O(nnz) conversion).
+        UDT values travel as a struct-of-arrays pytree (the reference
+        carries any type through every kernel via ``void*`` values,
+        ``GB_matrix.h:195-208``)."""
         I, J, X = A.extractTuples()
-        if A.type.is_udt:
-            raise TypeError("CSR container does not hold UDT values; "
-                            "use the bitmap backend for struct types")
         return csr_from_coo(I, J, X, A.nrows, A.ncols, type=A.type,
                             nzmax=nzmax, sum_duplicates=False)
 
     # -- conversions ---------------------------------------------------------
     def to_matrix(self) -> Matrix:
-        vals = np.zeros((self.nrows, self.ncols), dtype=self.type.dtype)
         pat = np.zeros((self.nrows, self.ncols), dtype=np.bool_)
         I = np.asarray(self.rowids)[:self.nvals]
         J = np.asarray(self.indices)[:self.nvals]
+        pat[I, J] = True
+        if self.type.is_udt:
+            def scat(v):
+                a = np.asarray(v)
+                d = np.zeros((self.nrows, self.ncols), a.dtype)
+                d[I, J] = a[:self.nvals]
+                return jnp.asarray(d)
+            vals = jax.tree_util.tree_map(scat, self.values)
+            return Matrix(vals, jnp.asarray(pat), self.type)
+        vals = np.zeros((self.nrows, self.ncols), dtype=self.type.dtype)
         X = np.asarray(self.values)[:self.nvals]
         vals[I, J] = X
-        pat[I, J] = True
         return Matrix(jnp.asarray(vals), jnp.asarray(pat), self.type)
 
     def extractTuples(self):
+        if self.type.is_udt:
+            X = jax.tree_util.tree_map(
+                lambda v: np.asarray(v)[:self.nvals], self.values)
+        else:
+            X = np.asarray(self.values)[:self.nvals]
         return (np.asarray(self.rowids)[:self.nvals].astype(np.int64),
                 np.asarray(self.indices)[:self.nvals].astype(np.int64),
-                np.asarray(self.values)[:self.nvals])
+                X)
 
     def T(self) -> "CsrMatrix":
         """Transpose = re-sorted COO (host-side; the reference's bucket
@@ -125,6 +138,9 @@ def csr_from_coo(I, J, X, nrows: int, ncols: int,
     capacity.  (The native C++ radix builder is used when available.)"""
     I = np.asarray(I, np.int64)
     J = np.asarray(J, np.int64)
+    if type is not None and type.is_udt:
+        return _csr_from_coo_udt(I, J, X, nrows, ncols, type, nzmax,
+                                 sum_duplicates)
     X = np.asarray(X)
     t = type or type_of_dtype(X.dtype)
     if I.size:
@@ -173,4 +189,53 @@ def csr_from_coo(I, J, X, nrows: int, ncols: int,
     values[:nvals] = X.astype(t.dtype, copy=False)
     return CsrMatrix(jnp.asarray(indptr), jnp.asarray(indices),
                      jnp.asarray(rowids), jnp.asarray(values),
+                     nvals, nrows, ncols, t)
+
+
+def _csr_from_coo_udt(I, J, X, nrows: int, ncols: int, t: Type,
+                      nzmax: Optional[int], sum_duplicates: bool
+                      ) -> CsrMatrix:
+    """UDT build: values are a struct-of-arrays pytree; every leaf is
+    sorted/padded in lockstep with the (i, j) keys.  Duplicate assembly
+    needs a dup operator the flat path defaults to PLUS — for structs
+    the caller must pre-combine (the reference requires an explicit dup
+    op for UDTs too, ``GB_build.c``)."""
+    from ..core.errors import IndexOutOfBounds
+    tmap = jax.tree_util.tree_map
+    if I.size:
+        imin, imax = I.min(), I.max()
+        jmin, jmax = J.min(), J.max()
+        if imin < 0 or imax >= nrows or jmin < 0 or jmax >= ncols:
+            raise IndexOutOfBounds(
+                f"tuple index out of range for {nrows}x{ncols}: "
+                f"rows [{imin},{imax}], cols [{jmin},{jmax}]")
+    X = tmap(np.asarray, X)
+    if I.size:
+        order = np.lexsort((J, I))
+        I, J = I[order], J[order]
+        X = tmap(lambda a: a[order], X)
+        lin = I * ncols + J
+        if sum_duplicates and I.size > 1 and np.any(lin[1:] == lin[:-1]):
+            raise TypeError("UDT tuples must be duplicate-free "
+                            "(no default dup operator for structs)")
+    nvals = len(I)
+    cap = nzmax or _round_up(max(nvals, 8), 128)
+    if cap < nvals:
+        raise ValueError(f"nzmax {cap} < nvals {nvals}")
+    indptr = np.zeros(nrows + 1, np.int32)
+    np.add.at(indptr, I + 1, 1)
+    indptr = np.cumsum(indptr).astype(np.int32)
+    indices = np.full(cap, ncols, np.int32)
+    rowids = np.full(cap, nrows, np.int32)
+    indices[:nvals] = J
+    rowids[:nvals] = I
+
+    def padleaf(a):
+        out = np.zeros(cap, a.dtype)
+        out[:nvals] = a
+        return jnp.asarray(out)
+
+    values = tmap(padleaf, X)
+    return CsrMatrix(jnp.asarray(indptr), jnp.asarray(indices),
+                     jnp.asarray(rowids), values,
                      nvals, nrows, ncols, t)

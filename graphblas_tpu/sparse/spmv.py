@@ -25,7 +25,41 @@ from ..core.semirings import Semiring
 from ..core.types import Type
 from .container import CsrMatrix
 
-__all__ = ["csr_mxv", "csr_vxm", "segment_reduce"]
+__all__ = ["csr_mxv", "csr_vxm", "segment_reduce",
+           "segment_reduce_sorted"]
+
+
+def segment_reduce_sorted(op_fn, identity, vals, seg_ids,
+                          num_segments: int):
+    """Segment reduction for ANY associative op (incl. UDT pytree
+    values) when ``seg_ids`` is sorted ascending — which CSR entry
+    order guarantees.  Log-depth segmented ``associative_scan`` +
+    last-of-segment pick; the generic fallback the reference reaches
+    through its function-pointer workers (``GB_assoc_template.c``
+    default case).
+
+    ``vals`` is a pytree of [E] leaves; ``identity`` a matching pytree
+    of scalars.  Returns a pytree of [num_segments] leaves (segments
+    with no lanes = identity).
+    """
+    tmap = jax.tree_util.tree_map
+    E = seg_ids.shape[0]
+
+    def combine(a, b):
+        va, sa = a
+        vb, sb = b
+        z = op_fn(va, vb)
+        same = sa == sb
+        return tmap(lambda zz, yy: jnp.where(same, zz, yy), z, vb), sb
+
+    scanned, _ = jax.lax.associative_scan(combine, (vals, seg_ids))
+    is_last = jnp.concatenate([seg_ids[1:] != seg_ids[:-1],
+                               jnp.ones((1,), bool)])
+    tgt = jnp.where(is_last, seg_ids, num_segments)
+    return tmap(
+        lambda sc, idv: jnp.full((num_segments + 1,), idv, sc.dtype)
+        .at[tgt].set(sc, mode="drop")[:num_segments],
+        scanned, identity)
 
 
 def segment_reduce(monoid_name: str, vals, seg_ids, num_segments: int,
@@ -43,12 +77,15 @@ def segment_reduce(monoid_name: str, vals, seg_ids, num_segments: int,
         out = jax.ops.segment_max(
             vals if vals.dtype != jnp.bool_ else vals.astype(jnp.int32),
             seg_ids, num_segments=num_segments)
-        return out.astype(vals.dtype) if vals.dtype == jnp.bool_ else out
+        # empty segments yield INT32_MIN, which must read as the LOR
+        # identity False — compare, don't astype (astype gives True)
+        return (out > 0) if vals.dtype == jnp.bool_ else out
     if nm in ("MIN", "LAND"):
         out = jax.ops.segment_min(
             vals if vals.dtype != jnp.bool_ else vals.astype(jnp.int32),
             seg_ids, num_segments=num_segments)
-        return out.astype(vals.dtype) if vals.dtype == jnp.bool_ else out
+        # empty segments yield INT32_MAX > 0 == the LAND identity True
+        return (out > 0) if vals.dtype == jnp.bool_ else out
     if nm in ("LXOR",):
         cnt = jax.ops.segment_sum((vals != 0).astype(jnp.int32), seg_ids,
                                   num_segments=num_segments)
@@ -99,10 +136,62 @@ def _csr_mxv_jit(add_name: str, sr: Semiring, nrows: int, zdtype, avals,
     return y, ypat
 
 
+_UDT_MXV_CACHE = {}
+
+
+def _udt_mxv_prog(sr: Semiring, nrows: int):
+    """Jitted UDT edge-parallel SpMV (cached by semiring identity —
+    UDT identities are dict pytrees, unhashable as static args)."""
+    key = (id(sr), nrows)
+    f = _UDT_MXV_CACHE.get(key)
+    if f is not None:
+        return f
+
+    def impl(avals, cols, rows, x_ext, xp_ext):
+        # No casting — the caller supplies operands already in the
+        # semiring's domains (the reference's UDT workers are likewise
+        # cast-free, ``dpagerank2.c:83-101``).
+        tmap = jax.tree_util.tree_map
+        xg = tmap(lambda v: jnp.take(v, cols, axis=0), x_ext)
+        z = sr.mult(avals, xg)
+        ident = sr.add.identity
+        xpg = jnp.take(xp_ext, cols)
+        live = xpg & (rows < nrows)
+        z = tmap(lambda zz, idv: jnp.where(live, zz,
+                                           jnp.asarray(idv, zz.dtype)),
+                 z, ident)
+        seg = jnp.minimum(rows, nrows)
+        y = segment_reduce_sorted(sr.add.op, ident, z, seg, nrows + 1)
+        y = tmap(lambda v: v[:nrows], y)
+        ypat = jax.ops.segment_max(live.astype(jnp.int32), seg,
+                                   num_segments=nrows + 1)[:nrows] > 0
+        y = tmap(lambda v, idv: jnp.where(ypat, v,
+                                          jnp.asarray(idv, v.dtype)),
+                 y, ident)
+        return y, ypat
+
+    f = jax.jit(impl)
+    _UDT_MXV_CACHE[key] = f
+    return f
+
+
 def csr_mxv(sr: Semiring, A: CsrMatrix, x, x_pattern=None):
     """(yvals, ypat) = A *.sr* x.  x: dense [ncols] value array;
-    ``x_pattern`` marks present entries (None = all present)."""
+    ``x_pattern`` marks present entries (None = all present).
+    UDT semirings (struct x/z) route through the generic pytree kernel."""
     from ..core.types import cast as gbcast
+    if sr.ztype.is_udt or sr.xtype.is_udt or sr.ytype.is_udt \
+            or A.type.is_udt:
+        tmap = jax.tree_util.tree_map
+        x_ext = tmap(lambda v: jnp.concatenate(
+            [jnp.asarray(v), jnp.zeros((1,), jnp.asarray(v).dtype)]), x)
+        if x_pattern is None:
+            xp = jnp.ones(A.ncols, bool)
+        else:
+            xp = jnp.asarray(x_pattern, bool)
+        xp_ext = jnp.concatenate([xp, jnp.zeros((1,), bool)])
+        return _udt_mxv_prog(sr, A.nrows)(A.values, A.indices,
+                                          A.rowids, x_ext, xp_ext)
     ident = sr.add.identity
     # cast operands into the semiring's domains (the bitmap path does
     # this in _mxu_path; int-stored A with a float semiring must not

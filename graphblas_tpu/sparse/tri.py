@@ -32,75 +32,153 @@ __all__ = ["masked_pair_counts", "tricount_esc", "ktruss_esc",
            "allktruss_esc", "csr_filter_lanes", "csr_tril", "csr_triu"]
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _counts_jit(chunk: int, n: int, ncolsA: int, kdt,
-                nchunks, a_indices, a_rowids, b_indptr, b_indices,
-                m_keys):
-    """Chunked lane expansion + mask binary search + segment add.
+#: lanes per dispatch cap: ~0.5 GB per expanded int32 array, a few GB
+#: peak — short dispatches that the tunnel tolerates, big enough that
+#: scale-18 tricount is a handful of launches.
+_LANE_CAP = 1 << 27
 
-    ``nchunks`` is traced, so one compilation serves every flop count
-    at a given buffer geometry."""
-    nzmaxA = a_indices.shape[0]
-    nzmaxB = b_indices.shape[0]
-    nzmaxM = m_keys.shape[0]
-    big = jnp.asarray(np.iinfo(np.dtype(kdt)).max, kdt)
 
-    degB = (b_indptr[1:] - b_indptr[:-1]).astype(jnp.int64)
-    degB_ext = jnp.concatenate([degB, jnp.zeros((1,), jnp.int64)])
-    acol = jnp.minimum(a_indices.astype(jnp.int64), ncolsA)
-    lens = degB_ext[acol]
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _counts_jit(E: int, ncolsA: int, maxlog: int, nlive,
+                a_indices, a_rowids, b_indptr, b_indices,
+                m_indptr, m_indices):
+    """One-pass fused lane expansion + per-row mask probe + scatter-add,
+    all int32, a single dispatch per call.
+
+    Lane -> A-entry resolution is one ``jnp.repeat`` with a static
+    total (XLA lowers it to scatter+cumsum, ms-class at 1e8 lanes on
+    TPU); mask membership is a row-local binary search over M's int32
+    column ids (``maxlog`` halving steps bound by M's max row degree) —
+    the dot-mask probe of ``Template/GB_AxB_dot_mask.c``.  ``E`` is the
+    bucketed lane capacity; the caller splits A into contiguous entry
+    blocks when the flop count exceeds the per-dispatch cap, keeping
+    peak memory bounded.  (A chunked in-kernel fori_loop was
+    latency-bound at ~200 ms/iteration; the fused form runs at the
+    primitives' native throughput.)
+    """
+    nzA = a_indices.shape[0]
+    nzB = b_indices.shape[0]
+    nzM = m_indices.shape[0]
+    nrowsM = m_indptr.shape[0] - 1
+
+    degB = b_indptr[1:] - b_indptr[:-1]
+    degB_ext = jnp.concatenate([degB, jnp.zeros((1,), jnp.int32)])
+    acol = jnp.minimum(a_indices, ncolsA)
+    eids = jnp.arange(nzA, dtype=jnp.int32)
+    # padded entries hit the sentinel -> 0; entries at/past nlive are
+    # the next host block's (fixed-size slices overlap) -> also 0
+    lens = jnp.where(eids < nlive, degB_ext[acol], 0)
     csum = jnp.cumsum(lens)
+    starts = csum - lens
     total = csum[-1]
 
-    def body(c, counts):
-        t = c * chunk + jnp.arange(chunk, dtype=jnp.int64)
-        e = jnp.searchsorted(csum, t, side="right")
-        live = t < total
-        ec = jnp.minimum(e, nzmaxA - 1)
-        start = csum[ec] - lens[ec]
-        l = t - start
-        kk = jnp.minimum(acol[ec], ncolsA - 1)
-        pos = jnp.clip(b_indptr[kk].astype(jnp.int64) + l, 0, nzmaxB - 1)
-        i = a_rowids[ec]
-        j = b_indices[pos]
-        key = jnp.where(live, i.astype(kdt) * n + j.astype(kdt), big)
-        idx = jnp.searchsorted(m_keys, key)
-        idxc = jnp.minimum(idx, nzmaxM - 1)
-        member = (m_keys[idxc] == key) & (key < big)
-        return counts.at[idxc].add(member.astype(jnp.int32), mode="drop")
+    e = jnp.repeat(eids, lens, total_repeat_length=E)
+    t = jnp.arange(E, dtype=jnp.int32)
+    live = t < total
+    ec = jnp.clip(e, 0, nzA - 1)
+    l = t - starts[ec]
+    kk = jnp.minimum(acol[ec], ncolsA - 1)
+    pos = jnp.clip(b_indptr[kk] + l, 0, nzB - 1)
+    i = a_rowids[ec]
+    j = b_indices[pos]
+    # row-local binary search for j in M's row i
+    ic = jnp.clip(i, 0, nrowsM - 1)
+    blo = m_indptr[ic]
+    bhi = m_indptr[ic + 1]
 
-    counts = jnp.zeros((nzmaxM,), jnp.int32)
-    return jax.lax.fori_loop(0, nchunks, body, counts)
+    def bs(_, lh):
+        blo, bhi = lh
+        w = bhi > blo
+        mid = (blo + bhi) // 2
+        v = m_indices[jnp.clip(mid, 0, nzM - 1)]
+        right = w & (v < j)
+        return (jnp.where(right, mid + 1, blo),
+                jnp.where(w & ~right, mid, bhi))
+
+    blo, bhi = jax.lax.fori_loop(0, maxlog, bs, (blo, bhi))
+    idx = jnp.clip(blo, 0, nzM - 1)
+    member = live & (blo < m_indptr[ic + 1]) & (i < nrowsM) \
+        & (m_indices[idx] == j)
+    return jnp.zeros((nzM,), jnp.int32).at[idx].add(
+        member.astype(jnp.int32), mode="drop")
 
 
-def _csr_keys_sorted(M: CsrMatrix, n: int, kdt):
-    """Entry keys of M in CSR order (ascending; padded tail == max)."""
-    big = np.iinfo(np.dtype(kdt)).max
-    lane = jnp.arange(M.nzmax)
-    keys = M.rowids.astype(kdt) * n + M.indices.astype(kdt)
-    return jnp.where(lane < M.nvals, keys, jnp.asarray(big, kdt))
+@partial(jax.jit, static_argnums=(2,))
+def _entry_flops_csum(a_indices, b_indptr, ncolsA: int):
+    """int64 cumulative flop count per A entry (padded entries are 0)."""
+    degB = b_indptr[1:] - b_indptr[:-1]
+    degB_ext = jnp.concatenate([degB, jnp.zeros((1,), jnp.int32)])
+    lens = degB_ext[jnp.minimum(a_indices, ncolsA)]
+    return jnp.cumsum(lens.astype(jnp.int64))
+
+
+@jax.jit
+def _flops_and_maxdeg(a_indices, a_live, b_indptr, m_indptr, ncolsA):
+    degB = b_indptr[1:] - b_indptr[:-1]
+    degB_ext = jnp.concatenate([degB, jnp.zeros((1,), jnp.int32)])
+    lens = degB_ext[jnp.minimum(a_indices, ncolsA)]
+    flops = jnp.sum(jnp.where(a_live, lens, 0).astype(jnp.int64))
+    maxdeg = jnp.max(m_indptr[1:] - m_indptr[:-1])
+    return flops, maxdeg
 
 
 def masked_pair_counts(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
-                       chunk: int = 1 << 21) -> jnp.ndarray:
+                       chunk: int = _LANE_CAP) -> jnp.ndarray:
     """counts[e] = (A·B)[i_e, j_e] over PLUS_PAIR for every entry e of M
-    (aligned with M's padded CSR entry order; padded slots 0)."""
+    (aligned with M's padded CSR entry order; padded slots 0).
+
+    ``chunk`` caps the expanded lanes per device dispatch; when the
+    total flop count exceeds it, A is split on the host into contiguous
+    entry blocks at flop-balanced boundaries (the slicing-by-flops plan
+    of ``GB_AxB_parallel.c:52-59``) and the per-block counts are summed
+    on device.  No 2^31 flop ceiling."""
     m, k = A.shape
     n = B.ncols
     if M.shape != (m, n):
         from ..core.errors import DimensionMismatch
         raise DimensionMismatch(f"mask {M.shape} vs product {(m, n)}")
-    kdt = jnp.int32 if (m + 1) * n < (1 << 31) else jnp.int64
-    m_keys = _csr_keys_sorted(M, n, kdt)
-    flops = int(jnp.sum((B.indptr[1:] - B.indptr[:-1]).astype(jnp.int64)[
-        jnp.minimum(A.indices, k)[:A.nzmax]]
-        * (jnp.arange(A.nzmax) < A.nvals)))
-    if flops == 0:
+    a_live = jnp.arange(A.nzmax) < A.nvals
+    fl, md = _flops_and_maxdeg(A.indices, a_live, B.indptr, M.indptr, k)
+    flops = int(fl)
+    if flops == 0 or M.nvals == 0:
         return jnp.zeros((M.nzmax,), jnp.int32)
-    chunk = min(chunk, _bucket(flops))
-    nchunks = -(-flops // chunk)
-    return _counts_jit(chunk, n, k, kdt, nchunks,
-                       A.indices, A.rowids, B.indptr, B.indices, m_keys)
+    maxlog = max(int(np.ceil(np.log2(int(md) + 1))), 1)
+    cap = max(min(chunk, _LANE_CAP), 1 << 14)
+    if flops <= cap:
+        return _counts_jit(_bucket(flops, 1 << 14), k, maxlog, A.nzmax,
+                           A.indices, A.rowids, B.indptr, B.indices,
+                           M.indptr, M.indices)
+
+    # Host split: contiguous A-entry blocks of <= cap lanes each (a
+    # block is never empty, so a single pathological entry with more
+    # than `cap` lanes still goes through as its own dispatch).
+    csum = np.asarray(_entry_flops_csum(A.indices, B.indptr, k))
+    nz = A.nzmax
+    bounds = [0]
+    prev = 0
+    while bounds[-1] < nz and prev < flops:
+        s = bounds[-1]
+        nxt = int(np.searchsorted(csum, prev + cap, side="right"))
+        nxt = min(max(nxt, s + 1), nz)
+        bounds.append(nxt)
+        prev = int(csum[nxt - 1])
+    blocks = list(zip(bounds[:-1], bounds[1:]))
+    L = _bucket(max(e - s for s, e in blocks), 1 << 14)
+    # sentinel-padded bases so fixed-size dynamic slices never wrap
+    ai = jnp.concatenate([A.indices, jnp.full((L,), k, A.indices.dtype)])
+    ar = jnp.concatenate([A.rowids, jnp.full((L,), m, A.rowids.dtype)])
+    counts = jnp.zeros((M.nzmax,), jnp.int32)
+    for s, e in blocks:
+        blk_flops = int(csum[e - 1]) - (int(csum[s - 1]) if s else 0)
+        if blk_flops == 0:
+            continue
+        E = _bucket(blk_flops, 1 << 14)
+        counts = counts + _counts_jit(
+            E, k, maxlog, e - s,
+            jax.lax.dynamic_slice(ai, (s,), (L,)),
+            jax.lax.dynamic_slice(ar, (s,), (L,)),
+            B.indptr, B.indices, M.indptr, M.indices)
+    return counts
 
 
 def tricount_esc(L: CsrMatrix, U: Optional[CsrMatrix] = None,

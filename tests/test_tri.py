@@ -88,6 +88,23 @@ def test_masked_pair_counts_vs_esc_spgemm(rng):
     assert np.all(counts[M.nvals:] == 0)
 
 
+def test_masked_pair_counts_split_path(rng):
+    """Forcing the host flop-split (chunk = the 2^14 floor) must give
+    the same counts as the single-dispatch path."""
+    m = k = n = 300
+    def rand_csr(r, c, nnz):
+        I = rng.integers(0, r, nnz)
+        J = rng.integers(0, c, nnz)
+        return CsrMatrix.from_coo(I, J, np.ones(nnz, np.int32), r, c,
+                                  type=INT32)
+    A = rand_csr(m, k, 6000)
+    B = rand_csr(k, n, 6000)
+    M = rand_csr(m, n, 3000)
+    one = np.asarray(sp.masked_pair_counts(M, A, B))
+    split = np.asarray(sp.masked_pair_counts(M, A, B, chunk=1))
+    assert np.array_equal(one, split)
+
+
 def test_ktruss_csr_matches_bitmap(rng):
     n = 80
     I, J, X = sym_graph(rng, n, 600)
