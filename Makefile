@@ -13,6 +13,13 @@ native:
 test:
 	$(PY) -m pytest tests/ -q
 
+# real-chip lane: Pallas/MXU/bitpack paths on the TPU itself (axon
+# backend preset in this environment; skips if only CPU is available).
+# First-compile latency through the tunnel is 10-40 s per shape — this
+# lane is intentionally small.
+test-tpu:
+	$(PY) -m pytest tests_tpu/ -q -p no:cacheprovider
+
 coverage:
 	$(PY) tools/coverage.py
 

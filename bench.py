@@ -61,17 +61,20 @@ def main():
                        kmax, interp)
         return sum_jit(C)
 
-    # timed FIRST: any device-to-host pull (even a scalar) degrades the
-    # tunnel's dispatch latency ~20x for the rest of the process, so the
-    # measurement must precede the correctness gate.  K async
-    # dispatches, one block (amortizes RTT); best of 3 loops.
+    # timed FIRST: a large device-to-host pull degrades the tunnel's
+    # dispatch latency ~20x for the rest of the process, so the
+    # measurement precedes the big correctness pulls.  IMPORTANT:
+    # block_until_ready() does NOT block on the axon tunnel — the only
+    # real sync is a host pull, so each timing loop ends by pulling the
+    # final scalar (forces FIFO drain of all K dispatches; the ~35 ms
+    # RTT is amortized over K).
     K = 200
-    tri_kernel().block_until_ready()   # sync only, no pull
+    float(tri_kernel())   # warm + real sync (scalar pull)
     elapsed = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         results = [tri_kernel() for _ in range(K)]
-        results[-1].block_until_ready()
+        float(results[-1])   # scalar pull = true completion barrier
         elapsed = min(elapsed, (time.perf_counter() - t0) / K)
 
     # correctness gate vs dense BLAS oracle.  f32 is exact here: the
@@ -84,11 +87,26 @@ def main():
 
     rate = nedges / elapsed
     baseline = 5.62e6  # edges/s, Demo/Output/tri_demo.out:82 (dot method)
+    # chip-relative accounting (VERDICT round-2 #6): the kernel issues
+    # one int8 MXU tile product per scheduled (I,K,J) triple -> device
+    # work = ntriples * 2*T^3 MACs; MFU vs the v5e int8 peak (394 TOPS).
+    # "Useful" flops are the reference-style masked-SpGEMM flop count
+    # (wedges through mask entries), all other MACs being padding.
+    ntriples = int(len(ta))
+    T = 128
+    device_flops = ntriples * 2 * T**3
+    Lf = Lpn.astype(np.int64)
+    Uf = Upn.astype(np.int64)
+    useful = int(2 * ((Lf @ Uf) * Lf).sum())
+    mfu = device_flops / elapsed / 394e12
     print(json.dumps({
         "metric": "masked_spgemm_tricount_edges_per_s",
         "value": rate,
         "unit": "edges/s",
         "vs_baseline": rate / baseline,
+        "device_gflops": device_flops / elapsed / 1e9,
+        "useful_gflops": useful / elapsed / 1e9,
+        "mfu_int8": mfu,
     }))
 
 

@@ -44,19 +44,23 @@ def main():
     y.block_until_ready()
 
     # kernel-rate timing: operand prep (casts/concats) hoisted, the
-    # fused jitted SpMV dispatched K times and blocked once
-    from graphblas_tpu.sparse.spmv import _csr_mxv_jit
+    # fused jitted SpMV dispatched K times and blocked once.  Dense-x
+    # fast path: one per-lane gather + widened-cumsum row sums.
+    from graphblas_tpu.sparse.spmv import _csr_mxv_densex_jit as _kern
     x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
-    xp_ext = jnp.concatenate([jnp.ones(n, bool), jnp.zeros((1,), bool)])
     args = (sr.add.op.name, sr, A.nrows, sr.ztype.dtype, A.values,
-            A.indices, A.rowids, x_ext, xp_ext, sr.add.identity)
-    _csr_mxv_jit(*args)[0].block_until_ready()
-    K = 200
+            A.indices, A.rowids, A.indptr, x_ext, sr.add.identity)
+    sum_jit = jax.jit(lambda t: jnp.sum(t[0]))
+    # block_until_ready() does NOT block on the axon tunnel; the only
+    # real completion barrier is a host pull, so each loop dispatches K
+    # SpMVs + one scalar sum and pulls that scalar (FIFO drain).
+    float(sum_jit(_kern(*args)))
+    K = 50
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        ys = [_csr_mxv_jit(*args) for _ in range(K)]
-        ys[-1][0].block_until_ready()
+        ys = [_kern(*args) for _ in range(K)]
+        float(sum_jit(ys[-1]))
         dt = min(dt, (time.perf_counter() - t0) / K)
     rate = A.nvals / dt
 

@@ -44,7 +44,8 @@ from .core.options import (Options, global_options, init, set_option,
                            get_option, BLOCKING, NONBLOCKING, BY_ROW,
                            BY_COL)
 from .core.io_export import (import_csr, import_csc, import_hyper_csr,
-                             export_csr, export_csc, import_vector,
+                             export_csr, export_hyper_csr,
+                             export_csc, import_vector,
                              export_vector)
 from .core.printing import fprint, check, SILENT, SUMMARY, SHORT, COMPLETE
 
@@ -83,7 +84,8 @@ __all__ = [
     # options / io / printing
     "Options", "global_options", "init", "set_option", "get_option",
     "BLOCKING", "NONBLOCKING", "BY_ROW", "BY_COL", "import_csr",
-    "import_csc", "import_hyper_csr", "export_csr", "export_csc",
+    "import_csc", "import_hyper_csr", "export_csr",
+    "export_hyper_csr", "export_csc",
     "import_vector", "export_vector", "fprint", "check", "SILENT",
     "SUMMARY", "SHORT", "COMPLETE",
 ]

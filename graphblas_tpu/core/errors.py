@@ -9,9 +9,21 @@ exceptions carrying the equivalent info code; ``GrB_SUCCESS`` /
 from __future__ import annotations
 
 import enum
+import threading
 
 __all__ = ["Info", "GraphBLASError", "DimensionMismatch", "DomainMismatch",
-           "IndexOutOfBounds", "InvalidValue", "EmptyObject"]
+           "IndexOutOfBounds", "InvalidValue", "EmptyObject",
+           "last_error_message"]
+
+# thread-local last-error slot, the analogue of the reference's TLS
+# error string (GB_error.c / GB_thread_local_access, GB_init.c:250-296):
+# every GraphBLASError records its message here at construction so the
+# C-style facade's GrB_error() can report it after catching.
+_tls = threading.local()
+
+
+def last_error_message() -> str:
+    return getattr(_tls, "msg", "")
 
 
 class Info(enum.IntEnum):
@@ -34,6 +46,11 @@ class Info(enum.IntEnum):
 
 class GraphBLASError(Exception):
     info = Info.PANIC
+
+    def __init__(self, *args):
+        super().__init__(*args)
+        _tls.msg = (f"GraphBLAS error: {self.info.name}: "
+                    f"{args[0] if args else ''}")
 
 
 class DimensionMismatch(GraphBLASError):

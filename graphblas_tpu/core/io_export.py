@@ -21,6 +21,7 @@ from .matrix import Matrix, Vector, np_bool
 from .types import Type, FP64
 
 __all__ = ["import_csr", "import_csc", "import_hyper_csr", "export_csr",
+           "export_hyper_csr",
            "export_csc", "import_vector", "export_vector"]
 
 
@@ -88,11 +89,22 @@ def export_csr(A) -> Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]:
     return A.nrows, A.ncols, indptr, J, X
 
 
+def export_hyper_csr(A):
+    """Matrix/CsrMatrix -> (nrows, ncols, nvec, h, p, indices, values)
+    in hypersparse-CSR form: ``h`` lists the nonempty rows, ``p`` their
+    compacted pointer list (``GxB_Matrix_export_HyperCSR``) — the O(nvec)
+    dual of :func:`import_hyper_csr`."""
+    nrows, ncols, indptr, indices, values = export_csr(A)
+    counts = np.diff(indptr)
+    h = np.nonzero(counts)[0].astype(np.int64)
+    p = np.concatenate([[0], np.cumsum(counts[h])]).astype(np.int64)
+    return nrows, ncols, len(h), h, p, indices, values
+
+
 def export_csc(A):
-    """(nrows, ncols, col indptr, row indices, values) in CSC order."""
-    from ..sparse.container import CsrMatrix
-    if isinstance(A, CsrMatrix):
-        A = A.to_matrix()
+    """(nrows, ncols, col indptr, row indices, values) in CSC order.
+    CsrMatrix exports via its tuple list (O(nnz log nnz) re-sort), never
+    through a dense intermediate."""
     I, J, X = A.extractTuples()
     order = np.lexsort((I, J))
     I, J, X = I[order], J[order], X[order]

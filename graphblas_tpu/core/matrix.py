@@ -125,25 +125,34 @@ def np_bool(x) -> np.ndarray:
 class _Base:
     """Shared functional container: values + pattern + type."""
 
-    __slots__ = ("values", "pattern", "type", "_pending")
+    __slots__ = ("values", "pattern", "type", "_pending", "_options")
 
     def __init__(self, values, pattern, type: Type,
-                 pending: Optional[List[Tuple]] = None):
+                 pending: Optional[List[Tuple]] = None,
+                 options: Optional[dict] = None):
         self.values = values
         self.pattern = pattern
         self.type = type
         # non-blocking-mode delta buffer: list of (i, j, scalar, accum_op)
         self._pending = list(pending) if pending else []
+        # per-object options (reference GxB_Matrix_Option_set: format /
+        # hyper ratio live on the matrix, GB_matrix.h:394-399).  Purely
+        # metadata here (storage is bitmap): consulted by printing and
+        # CSR conversion hints, reported by GxB_get.
+        self._options = dict(options) if options else {}
 
     # -- pytree protocol ------------------------------------------------------
     def tree_flatten(self):
-        return (self.values, self.pattern), (self.type, tuple(self._pending))
+        return (self.values, self.pattern), (
+            self.type, tuple(self._pending),
+            tuple(sorted(self._options.items())))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         values, pattern = children
         obj = cls.__new__(cls)
-        _Base.__init__(obj, values, pattern, aux[0], list(aux[1]))
+        _Base.__init__(obj, values, pattern, aux[0], list(aux[1]),
+                       dict(aux[2]) if len(aux) > 2 else None)
         return obj
 
     # -- shape / introspection -------------------------------------------------
@@ -170,6 +179,7 @@ class _Base:
             self.pattern if pattern is None else pattern,
             self.type if type is None else type,
             self._pending if pending is None else pending,
+            self._options,
         )
         return obj
 

@@ -28,6 +28,7 @@ from . import (Matrix, Vector, mxm, mxv, vxm, eWiseAdd, eWiseMult, apply,
                assign, subassign, assign_scalar, subassign_scalar,
                assign_vector, subassign_vector, row_assign, col_assign,
                import_csr, import_csc, import_hyper_csr, export_csr,
+               export_hyper_csr,
                export_csc, import_vector, export_vector, fprint, check,
                init as _init, set_option, get_option, Descriptor)
 from .core import types as _t
@@ -84,8 +85,11 @@ def GrB_finalize():
 
 
 def GrB_error() -> str:
-    """Errors are exceptions here; kept for source compatibility."""
-    return ""
+    """Message of the most recent GraphBLAS error on this thread
+    (reference semantics: TLS error string, ``GrB_error.c``).  Errors
+    also surface as exceptions; this reports the last one caught."""
+    from .core.errors import last_error_message
+    return last_error_message()
 
 
 def GrB_wait(*objs):
@@ -272,6 +276,7 @@ GrB_Col_assign = col_assign
 GxB_Matrix_import_CSR = import_csr
 GxB_Matrix_import_CSC = import_csc
 GxB_Matrix_import_HyperCSR = import_hyper_csr
+GxB_Matrix_export_HyperCSR = export_hyper_csr
 GxB_Matrix_export_CSR = export_csr
 GxB_Matrix_export_CSC = export_csc
 GxB_Vector_import = import_vector
@@ -346,26 +351,51 @@ def GrB_Descriptor_set(desc, field, value):
 
 
 def GxB_set(target, field, value=None):
-    """Polymorphic GxB_set: descriptor form (3 args) or global-option
-    form ``GxB_set(field, value)`` (2 args)."""
+    """Polymorphic GxB_set (the reference's _Generic macro): descriptor
+    form, per-matrix/vector option form, or global-option form
+    ``GxB_set(field, value)`` (2 args)."""
     if isinstance(target, Descriptor):
         return GrB_Descriptor_set(target, field, value)
+    if hasattr(target, "_options"):
+        return GxB_Matrix_Option_set(target, field, value)
     set_option(target, field)   # (field, value) global form
     return Info.SUCCESS
 
 
 def GxB_get(obj, field=None):
-    """Polymorphic GxB_get.  Descriptor -> field value; a field-name
-    string alone -> global option.  Matrix/Vector per-object options do
-    not exist in this design (no per-matrix format/hyper state), so the
-    global value IS the effective per-object value and is returned."""
+    """Polymorphic GxB_get.  Descriptor -> field value; Matrix/Vector ->
+    per-object option (falling back to the global scope); a field-name
+    string alone -> global option."""
     if isinstance(obj, Descriptor):
         return getattr(obj, {"outp": "replace", "mask": "mask_scmp",
                              "inp0": "tran0", "inp1": "tran1",
                              "axb_method": "axb_method"}[field])
+    if hasattr(obj, "_options"):
+        return GxB_Matrix_Option_get(obj, field)
     if isinstance(obj, str) and field is None:
         return get_option(obj)
     return get_option(field)
+
+
+def GxB_Matrix_Option_set(A, field, value):
+    """Per-matrix option scope (reference ``GxB_Matrix_Option_set.c``:
+    format / hyper ratio live on the object).  Metadata here — bitmap/
+    padded-CSR storage has no semantic format switch — but the setting
+    sticks to the object, survives wait()/accum, and GxB_get reports it
+    in preference to the global scope."""
+    A._options[str(field)] = value
+    return Info.SUCCESS
+
+
+def GxB_Matrix_Option_get(A, field):
+    f = str(field)
+    if f in A._options:
+        return A._options[f]
+    return get_option(f)
+
+
+GxB_Vector_Option_set = GxB_Matrix_Option_set
+GxB_Vector_Option_get = GxB_Matrix_Option_get
 
 
 def GxB_Global_Option_set(field, value):

@@ -39,7 +39,7 @@ class CsrMatrix:
     rowids[nzmax] (the COO dual), values[nzmax]."""
 
     __slots__ = ("indptr", "indices", "rowids", "values", "nvals",
-                 "nrows", "ncols", "type")
+                 "nrows", "ncols", "type", "_options")
 
     def __init__(self, indptr, indices, rowids, values, nvals: int,
                  nrows: int, ncols: int, type: Type):
@@ -51,6 +51,8 @@ class CsrMatrix:
         self.nrows = int(nrows)
         self.ncols = int(ncols)
         self.type = type
+        # per-object options (GxB_Matrix_Option_set scope); metadata
+        self._options = {}
 
     def tree_flatten(self):
         return ((self.indptr, self.indices, self.rowids, self.values),

@@ -175,6 +175,51 @@ def _udt_mxv_prog(sr: Semiring, nrows: int):
     return f
 
 
+#: widened accumulator for the cumsum-based row sum: the global prefix
+#: accumulates over ALL lanes, so int32 must widen to int64 and f32 to
+#: f64 (the per-row result is then exact for ints and within one
+#: rounding of the sequential sum for floats)
+_CUMSUM_WIDE = {np.dtype(np.int8): jnp.int64, np.dtype(np.int16): jnp.int64,
+                np.dtype(np.int32): jnp.int64, np.dtype(np.uint8): jnp.int64,
+                np.dtype(np.uint16): jnp.int64, np.dtype(np.uint32): jnp.int64,
+                np.dtype(np.float32): jnp.float64,
+                np.dtype(np.float64): jnp.float64,
+                np.dtype(np.bool_): jnp.int64}
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _csr_mxv_densex_jit(add_name: str, sr: Semiring, nrows: int, zdtype,
+                        avals, cols, rows, indptr, x_ext, identity):
+    """Dense-x fast path tuned to the measured TPU envelope: scalar
+    gathers run ~0.12 G/s and segment_sum is no faster, while cumsum
+    runs ~4 G/s — so this kernel does exactly ONE per-lane gather
+    (x at the column ids) and reduces rows via a widened cumulative
+    sum + O(nrows) boundary gathers (PLUS monoids), or the log-depth
+    segmented scan for other monoids.  The output pattern comes from
+    indptr degrees — no per-lane pattern gather."""
+    xg = jnp.take(x_ext, cols, axis=0)
+    z = _mult_apply(sr, avals, xg)
+    live = rows < nrows
+    z = jnp.where(live, z, jnp.asarray(identity, z.dtype))
+    nm = add_name.upper()
+    deg = indptr[1:] - indptr[:-1]
+    ypat = deg > 0
+    if nm == "PLUS" and np.dtype(z.dtype) in _CUMSUM_WIDE:
+        wide = _CUMSUM_WIDE[np.dtype(z.dtype)]
+        cs = jnp.cumsum(z.astype(wide))
+        cs0 = jnp.concatenate([jnp.zeros((1,), wide), cs])
+        nz = z.shape[0]
+        y = cs0[jnp.minimum(indptr[1:], nz)] - \
+            cs0[jnp.minimum(indptr[:-1], nz)]
+    else:
+        seg = jnp.minimum(rows, nrows)
+        y = segment_reduce_sorted(sr.add.op, identity, z, seg,
+                                  nrows + 1)[:nrows]
+    # off-pattern slots are zero, matching _csr_mxv_jit's convention
+    y = jnp.where(ypat, y.astype(zdtype), jnp.zeros((), zdtype))
+    return y, ypat
+
+
 def csr_mxv(sr: Semiring, A: CsrMatrix, x, x_pattern=None):
     """(yvals, ypat) = A *.sr* x.  x: dense [ncols] value array;
     ``x_pattern`` marks present entries (None = all present).
@@ -204,6 +249,11 @@ def csr_mxv(sr: Semiring, A: CsrMatrix, x, x_pattern=None):
         xp = jnp.asarray(x_pattern, bool)
     # identity slot for padded column indices (sentinel = ncols)
     x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+    if x_pattern is None:
+        # dense x: one-gather kernel, no per-lane pattern work
+        return _csr_mxv_densex_jit(sr.add.op.name, sr, A.nrows,
+                                   sr.ztype.dtype, avals, A.indices,
+                                   A.rowids, A.indptr, x_ext, ident)
     xp_ext0 = jnp.concatenate([xp, jnp.zeros((1,), bool)])
     return _csr_mxv_jit(sr.add.op.name, sr, A.nrows, sr.ztype.dtype,
                         avals, A.indices, A.rowids, x_ext, xp_ext0,

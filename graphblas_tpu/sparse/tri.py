@@ -32,35 +32,41 @@ __all__ = ["masked_pair_counts", "tricount_esc", "ktruss_esc",
            "allktruss_esc", "csr_filter_lanes", "csr_tril", "csr_triu"]
 
 
-#: lanes per dispatch cap: ~0.5 GB per expanded int32 array, a few GB
-#: peak — short dispatches that the tunnel tolerates, big enough that
-#: scale-18 tricount is a handful of launches.
-_LANE_CAP = 1 << 27
+#: lanes per dispatch cap: the sort-merge kernel holds ~3 int64 +
+#: 2 int32 E-sized arrays plus the sort workspace (~40 B/lane) — 2.7 GB
+#: at 2^26, short dispatches the tunnel tolerates.
+_LANE_CAP = 1 << 26
+
+#: key sentinel: real keys are i*n+j < 2^62; dead lanes sort last
+_BIGKEY = (np.int64(1) << 62) - 1
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _counts_jit(E: int, ncolsA: int, maxlog: int, nlive,
+@partial(jax.jit, static_argnums=(0, 1))
+def _counts_jit(E: int, ncolsA: int, nlive,
                 a_indices, a_rowids, b_indptr, b_indices,
-                m_indptr, m_indices):
-    """One-pass fused lane expansion + per-row mask probe + scatter-add,
-    all int32, a single dispatch per call.
+                m_rowids, m_indices, m_nvals, n_out):
+    """One-dispatch masked pair counting, engineered to the measured
+    TPU envelope (per-lane scalar gathers ~0.12 G/s vs cumsum ~4 G/s
+    and sort ~0.4 G keys/s — see STATUS.md "honest timing"):
 
-    Lane -> A-entry resolution is one ``jnp.repeat`` with a static
-    total (XLA lowers it to scatter+cumsum, ms-class at 1e8 lanes on
-    TPU); mask membership is a row-local binary search over M's int32
-    column ids (``maxlog`` halving steps bound by M's max row degree) —
-    the dot-mask probe of ``Template/GB_AxB_dot_mask.c``.  ``E`` is the
-    bucketed lane capacity; the caller splits A into contiguous entry
-    blocks when the flop count exceeds the per-dispatch cap, keeping
-    peak memory bounded.  (A chunked in-kernel fori_loop was
-    latency-bound at ~200 ms/iteration; the fused form runs at the
-    primitives' native throughput.)
+    * per-entry -> per-lane broadcasts use difference-scatter + cumsum
+      (a segmented fill-forward built from two fast primitives), NOT
+      per-lane gathers;
+    * the only true per-lane gather is ``b_indices[pos]`` (inherently
+      random);
+    * mask membership + per-entry counting is a SORT-MERGE of the lane
+      keys with M's (already sorted) entry keys — the dot-mask probe of
+      ``Template/GB_AxB_dot_mask.c`` restructured for a machine whose
+      sorts outrun its gathers 4:1.
+
+    The caller splits A into contiguous entry blocks when flops exceed
+    the lane cap (``GB_AxB_parallel.c:52-59``'s slicing plan).
     """
     nzA = a_indices.shape[0]
     nzB = b_indices.shape[0]
     nzM = m_indices.shape[0]
-    nrowsM = m_indptr.shape[0] - 1
 
+    # ---- per-entry quantities (nzA-sized, cheap) ----
     degB = b_indptr[1:] - b_indptr[:-1]
     degB_ext = jnp.concatenate([degB, jnp.zeros((1,), jnp.int32)])
     acol = jnp.minimum(a_indices, ncolsA)
@@ -71,36 +77,65 @@ def _counts_jit(E: int, ncolsA: int, maxlog: int, nlive,
     csum = jnp.cumsum(lens)
     starts = csum - lens
     total = csum[-1]
+    ne = lens > 0
+    # compact the nonempty entries so consecutive-diff is well-defined
+    rank = jnp.cumsum(ne.astype(jnp.int32)) - 1
+    tgt = jnp.where(ne, rank, nzA)
+    pos0 = b_indptr[acol] - starts                     # lane pos offset
+    ikey = a_rowids.astype(jnp.int64) * n_out           # lane key base
+    pos0_c = jnp.zeros((nzA + 1,), jnp.int32).at[tgt].set(
+        pos0, mode="drop")
+    ikey_c = jnp.zeros((nzA + 1,), jnp.int64).at[tgt].set(
+        ikey, mode="drop")
+    starts_c = jnp.zeros((nzA + 1,), jnp.int32).at[tgt].set(
+        starts, mode="drop")
+    pos0_d = pos0_c - jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                       pos0_c[:-1]])
+    ikey_d = ikey_c - jnp.concatenate([jnp.zeros((1,), jnp.int64),
+                                       ikey_c[:-1]])
 
-    e = jnp.repeat(eids, lens, total_repeat_length=E)
+    # ---- expansion: scatter diffs at start lanes, cumsum ----
+    nne = jnp.sum(ne.astype(jnp.int32))
+    lanes_ok = jnp.arange(nzA + 1, dtype=jnp.int32) < nne
+    sc_tgt = jnp.where(lanes_ok, starts_c, E)
+    pos_lane = jnp.cumsum(jnp.zeros((E + 1,), jnp.int32).at[sc_tgt].add(
+        jnp.where(lanes_ok, pos0_d, 0), mode="drop")[:E])
+    key_lane = jnp.cumsum(jnp.zeros((E + 1,), jnp.int64).at[sc_tgt].add(
+        jnp.where(lanes_ok, ikey_d, 0), mode="drop")[:E])
     t = jnp.arange(E, dtype=jnp.int32)
     live = t < total
-    ec = jnp.clip(e, 0, nzA - 1)
-    l = t - starts[ec]
-    kk = jnp.minimum(acol[ec], ncolsA - 1)
-    pos = jnp.clip(b_indptr[kk] + l, 0, nzB - 1)
-    i = a_rowids[ec]
-    j = b_indices[pos]
-    # row-local binary search for j in M's row i
-    ic = jnp.clip(i, 0, nrowsM - 1)
-    blo = m_indptr[ic]
-    bhi = m_indptr[ic + 1]
+    pos = jnp.clip(pos_lane + t, 0, nzB - 1)
+    j = b_indices[pos]                                   # THE gather
+    key = jnp.where(live, key_lane + j, _BIGKEY)
 
-    def bs(_, lh):
-        blo, bhi = lh
-        w = bhi > blo
-        mid = (blo + bhi) // 2
-        v = m_indices[jnp.clip(mid, 0, nzM - 1)]
-        right = w & (v < j)
-        return (jnp.where(right, mid + 1, blo),
-                jnp.where(w & ~right, mid, bhi))
-
-    blo, bhi = jax.lax.fori_loop(0, maxlog, bs, (blo, bhi))
-    idx = jnp.clip(blo, 0, nzM - 1)
-    member = live & (blo < m_indptr[ic + 1]) & (i < nrowsM) \
-        & (m_indices[idx] == j)
-    return jnp.zeros((nzM,), jnp.int32).at[idx].add(
-        member.astype(jnp.int32), mode="drop")
+    # ---- sort-merge with M's keys ----
+    lane_m = jnp.arange(nzM)
+    m_live = lane_m < m_nvals
+    m_keys = jnp.where(m_live,
+                       m_rowids.astype(jnp.int64) * n_out + m_indices,
+                       _BIGKEY)
+    # tag: m entries even, lanes odd -> m sorts before its lanes
+    allk = jnp.concatenate([m_keys * 2, key * 2 + 1])
+    pay = jnp.concatenate([lane_m.astype(jnp.int32),
+                           jnp.full((E,), nzM, jnp.int32)])
+    sk, sp = jax.lax.sort((allk, pay), num_keys=1)
+    is_m = sp < nzM
+    run = jax.lax.cummax(jnp.where(is_m, sk, jnp.int64(-1)))
+    match = (~is_m) & (sk < _BIGKEY * 2) & (sk == run + 1)
+    cnt0 = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(match.astype(jnp.int32))])
+    # sorted position of each live m entry: m keys are unique and
+    # already in CSR order, so sorted m-rank == m entry id
+    N = nzM + E
+    mrank = jnp.cumsum(is_m.astype(jnp.int32)) - 1
+    mpos = jnp.zeros((nzM + 1,), jnp.int32).at[
+        jnp.where(is_m, jnp.minimum(mrank, nzM), nzM)].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop")[:nzM]
+    nxt = jnp.concatenate([mpos[1:], jnp.full((1,), N, jnp.int32)])
+    # padded m entries share the BIGKEY*2 key; their ranges contain no
+    # matches (dead lanes fail the sk < BIGKEY*2 test)
+    counts = cnt0[nxt] - cnt0[mpos]
+    return jnp.where(m_live, counts, 0).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -142,12 +177,11 @@ def masked_pair_counts(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
     flops = int(fl)
     if flops == 0 or M.nvals == 0:
         return jnp.zeros((M.nzmax,), jnp.int32)
-    maxlog = max(int(np.ceil(np.log2(int(md) + 1))), 1)
     cap = max(min(chunk, _LANE_CAP), 1 << 14)
     if flops <= cap:
-        return _counts_jit(_bucket(flops, 1 << 14), k, maxlog, A.nzmax,
+        return _counts_jit(_bucket(flops, 1 << 14), k, A.nzmax,
                            A.indices, A.rowids, B.indptr, B.indices,
-                           M.indptr, M.indices)
+                           M.rowids, M.indices, M.nvals, n)
 
     # Host split: contiguous A-entry blocks of <= cap lanes each (a
     # block is never empty, so a single pathological entry with more
@@ -174,15 +208,15 @@ def masked_pair_counts(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
             continue
         E = _bucket(blk_flops, 1 << 14)
         counts = counts + _counts_jit(
-            E, k, maxlog, e - s,
+            E, k, e - s,
             jax.lax.dynamic_slice(ai, (s,), (L,)),
             jax.lax.dynamic_slice(ar, (s,), (L,)),
-            B.indptr, B.indices, M.indptr, M.indices)
+            B.indptr, B.indices, M.rowids, M.indices, M.nvals, n)
     return counts
 
 
 def tricount_esc(L: CsrMatrix, U: Optional[CsrMatrix] = None,
-                 chunk: int = 1 << 21) -> int:
+                 chunk: int = _LANE_CAP) -> int:
     """Sandia triangle count at CSR scale: ntri = sum over (i,j) in L of
     (L·U)[i,j]; with ``U=None`` uses the pure-Sandia form (L·L).<L."""
     B = U if U is not None else L
@@ -234,7 +268,7 @@ def csr_triu(A: CsrMatrix, k: int = 1) -> CsrMatrix:
     return csr_filter_lanes(A, d >= k)
 
 
-def ktruss_esc(A: CsrMatrix, k: int, chunk: int = 1 << 21,
+def ktruss_esc(A: CsrMatrix, k: int, chunk: int = _LANE_CAP,
                max_iters: int = 1000) -> Tuple[CsrMatrix, jnp.ndarray,
                                                int]:
     """Sparse k-truss at CSR scale (``ktruss_graphblas.c`` loop):
@@ -264,7 +298,7 @@ def ktruss_esc(A: CsrMatrix, k: int, chunk: int = 1 << 21,
 
 
 def allktruss_esc(A: CsrMatrix, kmax: Optional[int] = None,
-                  chunk: int = 1 << 21) -> dict:
+                  chunk: int = _LANE_CAP) -> dict:
     """All-k-truss sweep at CSR scale (``Extras/ktruss/allktruss.c``):
     k = 3.. until the truss is empty, reusing the (k-1)-truss as the
     next starting point.  Returns {k: {nedges, nsteps, nt}}."""

@@ -506,3 +506,48 @@ def test_tropical_times_not_poisoned():
     C = gb.mxm(gb.Matrix.new(gb.FP32, 1, 1), None, None,
                semiring.min_times[gb.FP32], A, B)
     assert C.extractElement(0, 0) == 6.0   # only the present pair
+
+
+def test_hyper_export_roundtrip(rng):
+    """export_hyper_csr ∘ import_hyper_csr == identity (O(nvec) lists)."""
+    import graphblas_tpu as gb
+    from graphblas_tpu.sparse.container import CsrMatrix
+    n = 500
+    I = rng.integers(0, n, 60)
+    J = rng.integers(0, n, 60)
+    lin = np.unique(I * n + J)
+    I, J = lin // n, lin % n
+    X = rng.random(len(I))
+    A = CsrMatrix.from_coo(I, J, X, n, n, type=gb.FP64,
+                           sum_duplicates=False)
+    nr, nc, nvec, h, p, idx, vals = gb.export_hyper_csr(A)
+    assert nvec == len(np.unique(I))
+    B = gb.import_hyper_csr(nr, nc, nvec, h, p, idx, vals, type=gb.FP64)
+    Ib, Jb, Xb = B.extractTuples()
+    assert np.array_equal(Ib, I) and np.array_equal(Jb, J)
+    assert np.allclose(Xb, X[np.lexsort((J, I))])
+
+
+def test_per_matrix_options():
+    import graphblas_tpu as gb
+    from graphblas_tpu import grb
+    A = gb.Matrix.new(gb.FP64, 4, 4)
+    B = gb.Matrix.new(gb.FP64, 4, 4)
+    grb.GxB_set(A, "format", "by_col")
+    assert grb.GxB_get(A, "format") == "by_col"
+    # other objects fall back to the global scope
+    assert grb.GxB_get(B, "format") == grb.GxB_Global_Option_get("format")
+    # option survives wait()/setElement round
+    A2 = A.setElement(1.0, 0, 0).wait()
+    assert grb.GxB_get(A2, "format") == "by_col"
+
+
+def test_grb_error_message():
+    import graphblas_tpu as gb
+    from graphblas_tpu import grb
+    try:
+        gb.Matrix.from_coo([99], [0], [1.0], 4, 4, type=gb.FP64)
+    except gb.IndexOutOfBounds:
+        pass
+    msg = grb.GrB_error()
+    assert "INDEX_OUT_OF_BOUNDS" in msg and "4x4" in msg

@@ -88,6 +88,42 @@ def test_dist_mxm_summa(mesh2d):
     assert np.allclose(got.to_dense(), want.to_dense())
 
 
+@pytest.fixture(scope="module")
+def mesh_sq():
+    return par.make_mesh(4, shape=(2, 2), axis_names=("i", "j"))
+
+
+def test_dist_mxm_summa_kstep(mesh_sq):
+    """Square mesh -> the k-step pipeline (block broadcasts per step)
+    must match the dense product for both a ring and a plus-times
+    semiring."""
+    A = _random_graph(40, 0.3, 14)
+    B = _random_graph(40, 0.3, 15)
+    for srname in ("plus_times", "min_plus"):
+        sr = semiring[srname][gb.FP64]
+        want = gb.mxm(gb.Matrix.new(gb.FP64, 40, 40), None, None,
+                      sr, A, B)
+        DA = par.distribute(A, mesh_sq)
+        DB = par.distribute(B, mesh_sq)
+        got = par.collect(par.dist_mxm_summa(sr, DA, DB))
+        assert np.allclose(got.to_dense(), want.to_dense()), srname
+        assert np.array_equal(got.pattern_np(), want.pattern_np()), srname
+
+
+def test_dist_mxm_bshard_matches_replicated(mesh):
+    A = _random_graph(48, 0.2, 16)
+    B = _random_graph(48, 0.2, 17)
+    Mk = _random_graph(48, 0.4, 18)
+    sr = semiring.plus_times[gb.FP64]
+    DA = par.distribute(A, mesh)
+    DB = par.distribute(B, mesh)
+    DM = par.distribute(Mk, mesh)
+    want = par.collect(par.dist_mxm(sr, DA, DB, M=DM))
+    got = par.collect(par.dist_mxm_bshard(sr, DA, DB, M=DM))
+    assert np.allclose(got.to_dense(), want.to_dense())
+    assert np.array_equal(got.pattern_np(), want.pattern_np())
+
+
 def test_dist_bfs(mesh):
     A = _random_graph(50, 0.08, 6)
     from graphblas_tpu import models
