@@ -95,9 +95,10 @@ def main():
     ntriples = int(len(ta))
     T = 128
     device_flops = ntriples * 2 * T**3
-    Lf = Lpn.astype(np.int64)
-    Uf = Upn.astype(np.int64)
-    useful = int(2 * ((Lf @ Uf) * Lf).sum())
+    # useful MACs = wedges that land on mask entries = ((L@U).*L).sum()
+    # = ntri exactly (each triangle counted once at its min-vertex /
+    # max-vertex orientation) — no extra n^3 host matmul needed
+    useful = 2 * want
     mfu = device_flops / elapsed / 394e12
     print(json.dumps({
         "metric": "masked_spgemm_tricount_edges_per_s",
