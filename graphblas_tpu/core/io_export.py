@@ -62,12 +62,21 @@ def import_csc(nrows: int, ncols: int, indptr, indices, values,
 def import_hyper_csr(nrows: int, ncols: int, nvec: int, h, p, indices,
                      values, type: Optional[Type] = None):
     """Hypersparse CSR (h = present rows, p = their pointer list) ->
-    CsrMatrix.  (``GxB_Matrix_import_HyperCSR``; empty rows cost nothing
-    here, so hyper collapses to CSR.)"""
+    CsrMatrix, or a true HyperMatrix when the dimension is too large
+    for an O(nrows) indptr (``GxB_Matrix_import_HyperCSR``; the
+    reference's hyper format carries dimension up to 2^60,
+    ``GB.h:314-323``)."""
     h = np.asarray(h, np.int64)[:nvec]
     p = np.asarray(p, np.int64)[:nvec + 1]
-    indptr = np.zeros(nrows + 1, np.int64)
     counts = np.diff(p)
+    if nrows > (1 << 28) or ncols > (1 << 31):
+        from ..sparse.hyper import hyper_from_coo
+        I = np.repeat(h, counts)
+        nnz = int(p[-1]) if len(p) else 0
+        return hyper_from_coo(I, np.asarray(indices, np.int64)[:nnz],
+                              np.asarray(values)[:nnz], nrows, ncols,
+                              type=type, dup=None)
+    indptr = np.zeros(nrows + 1, np.int64)
     indptr[h + 1] = counts
     indptr = np.cumsum(indptr)
     return import_csr(nrows, ncols, indptr, indices, values, type)
@@ -94,6 +103,14 @@ def export_hyper_csr(A):
     in hypersparse-CSR form: ``h`` lists the nonempty rows, ``p`` their
     compacted pointer list (``GxB_Matrix_export_HyperCSR``) — the O(nvec)
     dual of :func:`import_hyper_csr`."""
+    from ..sparse.hyper import HyperMatrix
+    if isinstance(A, HyperMatrix):
+        # O(1): the container already stores h/hptr
+        return (A.nrows, A.ncols, A.nvec,
+                np.asarray(A.h[:A.nvec], np.int64),
+                np.asarray(A.hptr[:A.nvec + 1], np.int64),
+                np.asarray(A.indices[:A.nvals], np.int64),
+                np.asarray(A.values[:A.nvals]))
     nrows, ncols, indptr, indices, values = export_csr(A)
     counts = np.diff(indptr)
     h = np.nonzero(counts)[0].astype(np.int64)

@@ -368,6 +368,29 @@ def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     the flop cost model (``choose_axb_method``)."""
     d = desc_of(desc)
     from ..sparse.container import CsrMatrix
+    from ..sparse.hyper import (HyperMatrix, hyper_accum_mask,
+                                hyper_spgemm, hyper_transpose)
+    if isinstance(A, HyperMatrix) or isinstance(B, HyperMatrix) \
+            or isinstance(C, HyperMatrix):
+        # huge-dimension path: hypersparse ESC (O(nnz+nvec), dimension
+        # up to 2^60 — the GB_to_hyper capability, GB.h:314-323)
+        if not isinstance(A, HyperMatrix) or not isinstance(B, HyperMatrix):
+            raise TypeError("hyper mxm needs both operands hypersparse")
+        if d.tran0:
+            A = hyper_transpose(A)
+        if d.tran1:
+            B = hyper_transpose(B)
+        # mask pushdown into the product, then the full GB_accum_mask
+        # epilogue against C (skipped when C starts empty and there is
+        # no accum — the GB_transplant_conform shortcut, GB_mxm.c:141)
+        T = hyper_spgemm(semiring, A, B, mask=M,
+                         complement=d.mask_scmp,
+                         structural=d.mask_structure)
+        if accum is None and C.nvals == 0:
+            return T
+        return hyper_accum_mask(C, M, T, accum, replace=d.replace,
+                                complement=d.mask_scmp,
+                                structural=d.mask_structure)
     if isinstance(C, CsrMatrix):
         return _mxm_sparse(C, M, accum, semiring, A, B, d)
     A = _as_bitmap(A).wait()

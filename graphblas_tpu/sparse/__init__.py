@@ -20,6 +20,10 @@ from .tri import (masked_pair_counts, tricount_esc, ktruss_esc,
 from .mask import csr_accum_mask, csr_clear
 from .assign import (csr_subref, csr_extract, csr_assign, csr_subassign,
                      csr_assign_scalar, csr_subassign_scalar)
+from .hyper import (HyperMatrix, hyper_from_coo, hyper_spgemm,
+                    hyper_ewise, hyper_mxv, hyper_reduce_scalar,
+                    hyper_reduce_vector, hyper_apply, hyper_select,
+                    hyper_transpose, GxB_INDEX_MAX)
 
 __all__ = [
     "CsrMatrix", "csr_from_coo", "pack_pattern", "popcount", "words_for",
@@ -35,4 +39,7 @@ __all__ = [
     "csr_filter_lanes", "csr_tril", "csr_triu",
     "csr_subref", "csr_extract", "csr_assign", "csr_subassign",
     "csr_assign_scalar", "csr_subassign_scalar",
+    "HyperMatrix", "hyper_from_coo", "hyper_spgemm", "hyper_ewise",
+    "hyper_mxv", "hyper_reduce_scalar", "hyper_reduce_vector",
+    "hyper_apply", "hyper_select", "hyper_transpose", "GxB_INDEX_MAX",
 ]

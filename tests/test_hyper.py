@@ -1,0 +1,360 @@
+"""Hypersparse container at huge dimension (VERDICT round-1 missing #2).
+
+The reference carries dimension up to 2^60 through doubly-compressed
+storage (``GB_matrix.h:216-246``, ``GB.h:314-323``).  These tests embed
+small random graphs at scattered 60-bit coordinates and check every
+hyper operation against (a) a dict oracle over the tuples and (b) the
+CSR ESC engine on the rank-compressed coordinates — so correctness at
+2^60 is tied back to the already-validated small-dimension engines.
+"""
+
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu.core.monoids import monoid
+from graphblas_tpu.core.ops import binary, unary
+from graphblas_tpu.core.semirings import semiring
+from graphblas_tpu.core.types import BOOL, FP32, FP64, INT32, INT64
+from graphblas_tpu.sparse.hyper import (
+    GxB_INDEX_MAX, HyperMatrix, hyper_apply, hyper_ewise, hyper_from_coo,
+    hyper_mxv, hyper_reduce_scalar, hyper_reduce_vector, hyper_select,
+    hyper_spgemm, hyper_transpose)
+
+N60 = 1 << 60
+
+
+def huge_ids(rng, n):
+    """n distinct sorted 60-bit coordinates spread over the full range."""
+    ids = rng.integers(0, N60, 4 * n, dtype=np.int64)
+    ids = np.unique(ids)[:n]
+    assert len(ids) == n
+    return ids
+
+
+def rand_hyper(rng, ids_r, ids_c, density, t=FP64):
+    """Random matrix on the coordinate grid ids_r x ids_c."""
+    p = rng.random((len(ids_r), len(ids_c))) < density
+    li, lj = np.nonzero(p)
+    if t is BOOL:
+        X = np.ones(len(li), bool)
+    elif np.issubdtype(t.dtype, np.floating):
+        X = rng.standard_normal(len(li)).astype(t.dtype)
+    else:
+        X = rng.integers(1, 9, len(li)).astype(t.dtype)
+    A = hyper_from_coo(ids_r[li], ids_c[lj], X, N60, N60, type=t)
+    return A, dict(zip(zip(ids_r[li].tolist(), ids_c[lj].tolist()),
+                       X.tolist()))
+
+
+def as_dict(H):
+    I, J, X = H.extractTuples()
+    return {(int(i), int(j)): x for i, j, x in zip(I, J, X.tolist())}
+
+
+def approx_equal(got, exp, dtype):
+    assert set(got) == set(exp)
+    if np.issubdtype(np.dtype(dtype), np.floating):
+        # f32 device folds vs float64 python oracle: roundoff parity
+        # bar, as in test_esc.check / isequal_roundoff.m
+        rtol, atol = ((1e-4, 1e-4) if np.dtype(dtype) == np.float32
+                      else (1e-8, 1e-10))
+        for k in exp:
+            assert np.isclose(got[k], exp[k], rtol=rtol, atol=atol)
+    else:
+        for k in exp:
+            assert got[k] == exp[k]
+
+
+SR_FAMILIES = [
+    ("plus", "times", FP64),
+    ("plus", "times", INT32),
+    ("min", "plus", FP64),
+    ("max", "second", INT64),
+    ("lor", "land", BOOL),
+    ("plus", "minus", FP64),   # non-commutative mult: operand order
+    ("min", "first", INT32),
+    ("times", "times", FP32),
+]
+
+_ADD_ORACLE = {"plus": lambda a, b: a + b, "min": min, "max": max,
+               "lor": lambda a, b: bool(a) or bool(b),
+               "times": lambda a, b: a * b}
+_MULT_ORACLE = {"times": lambda a, b: a * b, "plus": lambda a, b: a + b,
+                "second": lambda a, b: b, "first": lambda a, b: a,
+                "land": lambda a, b: bool(a) and bool(b),
+                "minus": lambda a, b: a - b}
+
+
+def oracle_mxm(addname, multname, dtype, dA, dB):
+    add = _ADD_ORACLE[addname]
+    mult = _MULT_ORACLE[multname]
+    dC = {}
+    cols_of = {}
+    for (k, j), b in dB.items():
+        cols_of.setdefault(k, []).append((j, b))
+    for (i, k), a in dA.items():
+        for j, b in cols_of.get(k, ()):
+            z = mult(a, b)
+            dC[(i, j)] = add(dC[(i, j)], z) if (i, j) in dC else z
+    if np.dtype(dtype).kind in "iub":
+        dC = {k: np.asarray(v).astype(dtype).item() for k, v in dC.items()}
+    return dC
+
+
+@pytest.mark.parametrize("addname,multname,t", SR_FAMILIES,
+                         ids=[f"{a}_{m}_{t.name}" for a, m, t in
+                              SR_FAMILIES])
+def test_hyper_spgemm_matches_oracle(rng, addname, multname, t):
+    ids = huge_ids(rng, 24)
+    A, dA = rand_hyper(rng, ids, ids, 0.3, t)
+    B, dB = rand_hyper(rng, ids, ids, 0.3, t)
+    sr = semiring[f"{addname}_{multname}"][t]
+    C = hyper_spgemm(sr, A, B)
+    assert C.shape == (N60, N60)
+    expect = oracle_mxm(addname, multname, sr.ztype.dtype, dA, dB)
+    approx_equal(as_dict(C), expect, sr.ztype.dtype)
+    from graphblas_tpu.ops.flopcount import last_axb_method
+    assert last_axb_method() == "esc:hyper_spgemm"
+
+
+@pytest.mark.parametrize("complement", [False, True])
+def test_hyper_spgemm_masked(rng, complement):
+    ids = huge_ids(rng, 20)
+    A, dA = rand_hyper(rng, ids, ids, 0.3)
+    B, dB = rand_hyper(rng, ids, ids, 0.3)
+    M, dM = rand_hyper(rng, ids, ids, 0.4)
+    sr = semiring.plus_times[FP64]
+    C = hyper_spgemm(sr, A, B, mask=M, complement=complement)
+    full = oracle_mxm("plus", "times", np.float64, dA, dB)
+    expect = {k: v for k, v in full.items()
+              if (k in dM) != complement}
+    approx_equal(as_dict(C), expect, np.float64)
+
+
+def test_hyper_spgemm_valued_vs_structural_mask(rng):
+    """A zero-valued mask entry hides output under the valued mask but
+    shows it under GxB structural semantics."""
+    ids = huge_ids(rng, 12)
+    A, dA = rand_hyper(rng, ids, ids, 0.4)
+    full = oracle_mxm("plus", "times", np.float64, dA, dA)
+    mk = sorted(full)[: max(1, len(full) // 2)]
+    mi = np.array([k[0] for k in mk], np.int64)
+    mj = np.array([k[1] for k in mk], np.int64)
+    mx = np.ones(len(mk))
+    mx[::2] = 0.0  # explicit zeros
+    M = hyper_from_coo(mi, mj, mx, N60, N60)
+    sr = semiring.plus_times[FP64]
+    Cv = hyper_spgemm(sr, A, A, mask=M)
+    Cs = hyper_spgemm(sr, A, A, mask=M, structural=True)
+    expect_v = {k: full[k] for k, x in zip(mk, mx) if x != 0}
+    expect_s = {k: full[k] for k in mk}
+    approx_equal(as_dict(Cv), expect_v, np.float64)
+    approx_equal(as_dict(Cs), expect_s, np.float64)
+
+
+def test_hyper_matches_csr_engine(rng):
+    """Rank-compressed coordinates: the hyper ESC product must agree
+    with the CSR ESC product entry for entry."""
+    from graphblas_tpu.sparse.container import CsrMatrix
+    from graphblas_tpu.sparse.esc import csr_spgemm
+    ids = huge_ids(rng, 40)
+    A, dA = rand_hyper(rng, ids, ids, 0.2)
+    B, dB = rand_hyper(rng, ids, ids, 0.2)
+    rank = {int(v): r for r, v in enumerate(ids)}
+    n = len(ids)
+
+    def compress(d, t=FP64):
+        I = np.array([rank[i] for i, _ in d], np.int64)
+        J = np.array([rank[j] for _, j in d], np.int64)
+        X = np.array(list(d.values()))
+        return CsrMatrix.from_coo(I, J, X, n, n, type=t,
+                                  sum_duplicates=False)
+
+    sr = semiring.plus_times[FP64]
+    C_h = as_dict(hyper_spgemm(sr, A, B))
+    Cc = csr_spgemm(sr, compress(dA), compress(dB))
+    I, J, X = Cc.extractTuples()
+    C_c = {(int(ids[i]), int(ids[j])): x
+           for i, j, x in zip(I, J, X.tolist())}
+    approx_equal(C_h, C_c, np.float64)
+
+
+EWISE_OPS = [("plus", True), ("times", False), ("min", True),
+             ("minus", False), ("max", True)]
+
+
+@pytest.mark.parametrize("opname,union", EWISE_OPS)
+def test_hyper_ewise(rng, opname, union):
+    ids = huge_ids(rng, 30)
+    A, dA = rand_hyper(rng, ids, ids, 0.3)
+    B, dB = rand_hyper(rng, ids, ids, 0.3)
+    op = binary[opname][FP64]
+    C = hyper_ewise(op, A, B, union=union)
+    fold = _MULT_ORACLE.get(opname) or _ADD_ORACLE[opname]
+    if union:
+        expect = dict(dA)
+        for k, v in dB.items():
+            expect[k] = fold(expect[k], v) if k in expect else v
+    else:
+        expect = {k: fold(dA[k], dB[k]) for k in dA if k in dB}
+    approx_equal(as_dict(C), expect, np.float64)
+
+
+def test_hyper_mxv_sparse_vector(rng):
+    ids = huge_ids(rng, 25)
+    A, dA = rand_hyper(rng, ids, ids, 0.3)
+    sel = np.sort(rng.choice(ids, 10, replace=False))
+    xv = rng.standard_normal(10)
+    sr = semiring.plus_times[FP64]
+    yi, yv = hyper_mxv(sr, A, sel, xv)
+    xd = dict(zip(sel.tolist(), xv.tolist()))
+    dy = {}
+    for (i, j), a in dA.items():
+        if j in xd:
+            dy[i] = dy.get(i, 0.0) + a * xd[j]
+    assert set(np.asarray(yi).tolist()) == set(dy)
+    for i, v in zip(yi, yv):
+        assert np.isclose(v, dy[int(i)])
+
+
+def test_hyper_reduce_apply_select_transpose(rng):
+    ids = huge_ids(rng, 20)
+    A, dA = rand_hyper(rng, ids, ids, 0.35)
+    # reduce to scalar / to sparse vector
+    assert np.isclose(hyper_reduce_scalar(monoid["plus"][FP64], A),
+                      sum(dA.values()))
+    ri, rv = hyper_reduce_vector(monoid["plus"][FP64], A)
+    dr = {}
+    for (i, _), a in dA.items():
+        dr[i] = dr.get(i, 0.0) + a
+    assert set(ri.tolist()) == set(dr)
+    for i, v in zip(ri, rv):
+        assert np.isclose(v, dr[int(i)])
+    # apply shares the pattern
+    N = hyper_apply(unary["ainv"][FP64], A)
+    approx_equal(as_dict(N), {k: -v for k, v in dA.items()}, np.float64)
+    # select family
+    for nm, pred in [("TRIL", lambda i, j: j <= i),
+                     ("TRIU", lambda i, j: j >= i),
+                     ("DIAG", lambda i, j: j == i),
+                     ("OFFDIAG", lambda i, j: j != i)]:
+        S = hyper_select(nm, A)
+        expect = {k: v for k, v in dA.items() if pred(*k)}
+        approx_equal(as_dict(S), expect, np.float64)
+    # transpose
+    T = hyper_transpose(A)
+    approx_equal(as_dict(T), {(j, i): v for (i, j), v in dA.items()},
+                 np.float64)
+
+
+def test_hyper_build_dup_fold_and_bounds(rng):
+    I = np.array([7, 7, 3, 3, 3], np.int64) * (1 << 50)
+    J = np.array([1, 1, 2, 2, 2], np.int64) * (1 << 40)
+    X = np.array([1.0, 2.0, 4.0, 8.0, 16.0])
+    A = hyper_from_coo(I, J, X, N60, N60, dup="PLUS")
+    assert as_dict(A) == {(7 << 50, 1 << 40): 3.0,
+                          (3 << 50, 2 << 40): 28.0}
+    for dup, exp in [("MIN", 4.0), ("MAX", 16.0), ("FIRST", 4.0),
+                     ("SECOND", 16.0)]:
+        B = hyper_from_coo(I, J, X, N60, N60, dup=dup)
+        assert as_dict(B)[(3 << 50, 2 << 40)] == exp
+    from graphblas_tpu.core.errors import IndexOutOfBounds
+    with pytest.raises(IndexOutOfBounds):
+        hyper_from_coo([-1], [0], [1.0], N60, N60)
+    with pytest.raises(IndexOutOfBounds):
+        hyper_from_coo([0], [N60], [1.0], N60, N60)
+    with pytest.raises(ValueError):
+        hyper_from_coo([0], [0], [1.0], 2 * N60, N60)
+
+
+def test_hyper_mxm_dispatch_and_descriptor(rng):
+    """gb.mxm routes HyperMatrix operands to the hyper engine and
+    honors the transpose descriptors."""
+    ids = huge_ids(rng, 15)
+    A, dA = rand_hyper(rng, ids, ids, 0.3)
+    B, dB = rand_hyper(rng, ids, ids, 0.3)
+    sr = semiring.plus_times[FP64]
+    C = gb.mxm(A, None, None, sr, A, B)
+    approx_equal(as_dict(C),
+                 oracle_mxm("plus", "times", np.float64, dA, dB),
+                 np.float64)
+    d = gb.Descriptor(tran0=True)
+    Ct = gb.mxm(A, None, None, sr, A, B, d)
+    dAT = {(j, i): v for (i, j), v in dA.items()}
+    approx_equal(as_dict(Ct),
+                 oracle_mxm("plus", "times", np.float64, dAT, dB),
+                 np.float64)
+
+
+def test_hyper_mxm_accum_mask_epilogue(rng):
+    """C<M> = accum(C, A*B) with REPLACE — the GB_accum_mask epilogue
+    on hypersparse operands (GB_spec_mask.m / GB_spec_accum.m)."""
+    ids = huge_ids(rng, 15)
+    A, dA = rand_hyper(rng, ids, ids, 0.3)
+    B, dB = rand_hyper(rng, ids, ids, 0.3)
+    C0, dC0 = rand_hyper(rng, ids, ids, 0.3)
+    M, dM = rand_hyper(rng, ids, ids, 0.5)
+    sr = semiring.plus_times[FP64]
+    acc = binary["plus"][FP64]
+    for replace in (False, True):
+        d = gb.Descriptor(replace=replace)
+        C = gb.mxm(C0, M, acc, sr, A, B, d)
+        dT = {k: v for k, v in
+              oracle_mxm("plus", "times", np.float64, dA, dB).items()
+              if k in dM}  # mask pushed into the product
+        dZ = dict(dC0)
+        for k, v in dT.items():
+            dZ[k] = dZ[k] + v if k in dZ else v
+        expect = {k: (dZ[k] if k in dM else dC0.get(k))
+                  for k in set(dZ) | set(dC0)
+                  if (k in dM and k in dZ)
+                  or (k not in dM and k in dC0 and not replace)}
+        approx_equal(as_dict(C), expect, np.float64)
+
+
+def test_hyper_import_export_roundtrip(rng):
+    ids = huge_ids(rng, 18)
+    A, dA = rand_hyper(rng, ids, ids, 0.3)
+    out = gb.export_hyper_csr(A)
+    nrows, ncols, nvec, h, p, indices, values = out
+    assert nrows == N60 and nvec == A.nvec
+    assert np.all(np.diff(h) > 0)       # strictly ascending row list
+    B = gb.import_hyper_csr(nrows, ncols, nvec, h, p, indices, values,
+                            type=FP64)
+    assert isinstance(B, HyperMatrix)   # too big to collapse to CSR
+    assert as_dict(B) == dA
+    # small dimension collapses to CSR (empty rows are cheap there)
+    S = hyper_from_coo([0, 5], [1, 3], [1.0, 2.0], 100, 100)
+    out2 = gb.export_hyper_csr(S)
+    C = gb.import_hyper_csr(*out2, type=FP64)
+    from graphblas_tpu.sparse.container import CsrMatrix
+    assert isinstance(C, CsrMatrix)
+    I, J, X = C.extractTuples()
+    assert {(int(i), int(j)): x for i, j, x in zip(I, J, X)} == \
+        {(0, 1): 1.0, (5, 3): 2.0}
+
+
+def test_hyper_csr_interop():
+    S = hyper_from_coo([0, 1, 2], [1, 2, 0], [1.0, 2.0, 3.0], 100, 100)
+    csr = S.to_csr()
+    H2 = HyperMatrix.from_csr(csr)
+    assert as_dict(H2) == as_dict(S)
+    with pytest.raises(ValueError):
+        hyper_from_coo([0], [0], [1.0], N60, N60).to_csr()
+
+
+def test_hyper_empty_and_degenerate(rng):
+    E = hyper_from_coo(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                       np.zeros(0), N60, N60, type=FP64)
+    assert E.nvals == 0 and E.nvec == 0
+    sr = semiring.plus_times[FP64]
+    C = hyper_spgemm(sr, E, E)
+    assert C.nvals == 0
+    ids = huge_ids(rng, 5)
+    A, dA = rand_hyper(rng, ids, ids, 0.5)
+    # disjoint inner pattern -> empty product
+    B = hyper_from_coo(ids + 1, ids + 1, np.ones(len(ids)), N60, N60)
+    # A's column ids are in `ids`; B's rows are ids+1 -> no overlap
+    C2 = hyper_spgemm(sr, A, B)
+    assert C2.nvals == 0
