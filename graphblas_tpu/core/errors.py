@@ -12,7 +12,7 @@ import enum
 import threading
 
 __all__ = ["Info", "GraphBLASError", "DimensionMismatch", "DomainMismatch",
-           "IndexOutOfBounds", "InvalidValue", "EmptyObject",
+           "IndexOutOfBounds", "InvalidValue", "EmptyObject", "OutOfMemory",
            "last_error_message"]
 
 # thread-local last-error slot, the analogue of the reference's TLS
@@ -71,3 +71,9 @@ class InvalidValue(GraphBLASError):
 
 class EmptyObject(GraphBLASError):
     info = Info.UNINITIALIZED_OBJECT
+
+
+class OutOfMemory(GraphBLASError):
+    """``GrB_OUT_OF_MEMORY`` — raised by real allocation failure or by
+    the fault-injection countdown (``utils/faultinject.py``)."""
+    info = Info.OUT_OF_MEMORY

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import types as gbtypes
+from ..utils import faultinject
 from .errors import DimensionMismatch, EmptyObject, IndexOutOfBounds
 from .ops import BinaryOp, binary
 from .types import Type, BOOL, FP64, cast, cast_value, type_of_dtype
@@ -171,6 +172,9 @@ class _Base:
         return self.type.dtype
 
     def _replace(self, values=None, pattern=None, type=None, pending=None):
+        # the universal new-container site (every op output lands here):
+        # the faultable "allocation" of the functional design
+        faultinject.checkpoint("Matrix._replace")
         cls = self.__class__
         obj = cls.__new__(cls)
         _Base.__init__(
@@ -200,6 +204,7 @@ class _Base:
         """
         if not self._pending:
             return self
+        faultinject.checkpoint("Matrix.wait")
         vals, pat = self.values, self.pattern
         tmap = jax.tree_util.tree_map
         udt = self.type.is_udt
@@ -358,12 +363,14 @@ class Matrix(_Base):
     # -- constructors -------------------------------------------------------------
     @staticmethod
     def new(type: Type, nrows: int, ncols: int) -> "Matrix":
+        faultinject.checkpoint("Matrix.new")
         return Matrix(_tree_zeros(type, (nrows, ncols)),
                       jnp.zeros((nrows, ncols), dtype=np.bool_), type)
 
     @staticmethod
     def from_dense(arr, type: Optional[Type] = None,
                    pattern=None) -> "Matrix":
+        faultinject.checkpoint("Matrix.from_dense")
         if type is not None and type.is_udt:
             leaves = jax.tree_util.tree_map(jnp.asarray, arr)
             shape = jax.tree_util.tree_leaves(leaves)[0].shape
@@ -390,6 +397,7 @@ class Matrix(_Base):
         order, matching the reference's "last-to-first in input order"
         assembly via the dup op (default PLUS).
         """
+        faultinject.checkpoint("Matrix.from_coo")
         I = np.asarray(I, dtype=np.int64)
         J = np.asarray(J, dtype=np.int64)
         X = np.asarray(X)

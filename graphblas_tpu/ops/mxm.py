@@ -374,8 +374,11 @@ def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
             or isinstance(C, HyperMatrix):
         # huge-dimension path: hypersparse ESC (O(nnz+nvec), dimension
         # up to 2^60 — the GB_to_hyper capability, GB.h:314-323)
-        if not isinstance(A, HyperMatrix) or not isinstance(B, HyperMatrix):
-            raise TypeError("hyper mxm needs both operands hypersparse")
+        if not isinstance(A, HyperMatrix) or not isinstance(B, HyperMatrix) \
+                or not isinstance(C, HyperMatrix):
+            raise TypeError("hyper mxm needs C and both operands "
+                            "hypersparse (convert with hyper_from_coo / "
+                            "import_hyper_csr)")
         if d.tran0:
             A = hyper_transpose(A)
         if d.tran1:

@@ -138,6 +138,8 @@ def csr_from_coo(I, J, X, nrows: int, ncols: int,
                  sum_duplicates: bool = True) -> CsrMatrix:
     """Host-side CSR build: lexsort (i,j), optional dup-sum, pad to
     capacity.  (The native C++ radix builder is used when available.)"""
+    from ..utils import faultinject
+    faultinject.checkpoint("csr_from_coo")
     I = np.asarray(I, np.int64)
     J = np.asarray(J, np.int64)
     if type is not None and type.is_udt:

@@ -231,6 +231,8 @@ def csr_spgemm(sr: Semiring, A: CsrMatrix, B: CsrMatrix,
     it.  Two host syncs per call (flop total + output nnz), everything
     else on device.
     """
+    from ..utils import faultinject
+    faultinject.checkpoint("csr_spgemm")
     m, k = A.shape
     k2, n = B.shape
     if k != k2:

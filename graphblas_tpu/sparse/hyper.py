@@ -172,6 +172,8 @@ def hyper_from_coo(I, J, X, nrows: int, ncols: int,
     ``dup=None`` asserts the tuples are already duplicate-free (the
     import / container-conversion path)."""
     from ..core.errors import IndexOutOfBounds
+    from ..utils import faultinject
+    faultinject.checkpoint("hyper_from_coo")
     I = np.asarray(I, np.int64)
     J = np.asarray(J, np.int64)
     X = np.asarray(X)
@@ -407,6 +409,8 @@ def hyper_spgemm(sr: Semiring, A: HyperMatrix, B: HyperMatrix,
     """C<M> = A *.sr* B on hypersparse operands — the ESC engine with
     pair keys.  Dimension-independent: only nnz/nvec-sized arrays."""
     from ..core.errors import DimensionMismatch
+    from ..utils import faultinject
+    faultinject.checkpoint("hyper_spgemm")
     m, k = A.shape
     k2, n = B.shape
     if k != k2:
