@@ -79,7 +79,14 @@ def import_hyper_csr(nrows: int, ncols: int, nvec: int, h, p, indices,
     indptr = np.zeros(nrows + 1, np.int64)
     indptr[h + 1] = counts
     indptr = np.cumsum(indptr)
-    return import_csr(nrows, ncols, indptr, indices, values, type)
+    out = import_csr(nrows, ncols, indptr, indices, values, type)
+    from ..sparse.container import CsrMatrix
+    if isinstance(out, CsrMatrix):
+        # conform to the hyper_ratio rule (GB_to_hyper_conform): a
+        # mostly-empty row space imported as hyper should stay hyper
+        from ..sparse.hyper import hyper_conform
+        out = hyper_conform(out)
+    return out
 
 
 def export_csr(A) -> Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]:

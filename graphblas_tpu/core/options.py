@@ -4,12 +4,12 @@ Reference: three scopes (``Include/GraphBLAS.h:2917-2930``) —
 global ``GxB_Global_Option_set/get`` (HYPER ratio, FORMAT, MODE,
 NTHREADS), per-matrix ``GxB_Matrix_Option_set``, per-call descriptors.
 
-TPU mapping: HYPER ratio is moot (containers are bitmap / padded-CSR /
-BSR, chosen by an explicit backend hint or the auto-select in
-``ops.mxm``); FORMAT by-row/by-col survives as the default transpose
-orientation; MODE blocking/non-blocking controls whether ``setElement``
-folds immediately; NTHREADS becomes the device/block-size hints the
-kernels consult.
+TPU mapping: HYPER ratio drives CSR<->hypersparse conformance
+(``sparse.hyper.hyper_conform``, the GB_to_hyper_conform rule) at
+container boundaries; FORMAT by-row/by-col survives as the default
+transpose orientation; MODE blocking/non-blocking controls whether
+``setElement`` folds immediately; NTHREADS becomes the device/
+block-size hints the kernels consult.
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ BY_COL = "by_col"
 class Options:
     mode: str = NONBLOCKING          # GrB_Mode
     format: str = BY_ROW             # GxB_FORMAT
-    hyper_ratio: float = 1.0 / 16    # kept for API parity (unused)
+    hyper_ratio: float = 1.0 / 16    # GxB_HYPER: hyper_conform threshold
     nthreads: int = 0                # 0 = all devices / auto block size
     backend: str = "auto"            # 'bitmap' | 'csr' | 'bsr' | 'auto'
     chunk: int = 1 << 14             # edge-chunk for gather kernels

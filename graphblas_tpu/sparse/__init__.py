@@ -23,7 +23,9 @@ from .assign import (csr_subref, csr_extract, csr_assign, csr_subassign,
 from .hyper import (HyperMatrix, hyper_from_coo, hyper_spgemm,
                     hyper_ewise, hyper_mxv, hyper_reduce_scalar,
                     hyper_reduce_vector, hyper_apply, hyper_select,
-                    hyper_transpose, GxB_INDEX_MAX)
+                    hyper_transpose, hyper_conform, nvec_nonempty,
+                    GxB_INDEX_MAX, GxB_HYPER_DEFAULT, GxB_ALWAYS_HYPER,
+                    GxB_NEVER_HYPER)
 
 __all__ = [
     "CsrMatrix", "csr_from_coo", "pack_pattern", "popcount", "words_for",
@@ -41,5 +43,7 @@ __all__ = [
     "csr_assign_scalar", "csr_subassign_scalar",
     "HyperMatrix", "hyper_from_coo", "hyper_spgemm", "hyper_ewise",
     "hyper_mxv", "hyper_reduce_scalar", "hyper_reduce_vector",
-    "hyper_apply", "hyper_select", "hyper_transpose", "GxB_INDEX_MAX",
+    "hyper_apply", "hyper_select", "hyper_transpose", "hyper_conform",
+    "nvec_nonempty", "GxB_INDEX_MAX", "GxB_HYPER_DEFAULT",
+    "GxB_ALWAYS_HYPER", "GxB_NEVER_HYPER",
 ]

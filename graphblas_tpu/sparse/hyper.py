@@ -48,7 +48,9 @@ from .spmv import segment_reduce, segment_reduce_sorted
 __all__ = ["HyperMatrix", "hyper_from_coo", "hyper_spgemm",
            "hyper_ewise", "hyper_mxv", "hyper_reduce_scalar",
            "hyper_reduce_vector", "hyper_apply", "hyper_select",
-           "hyper_transpose", "GxB_INDEX_MAX"]
+           "hyper_transpose", "hyper_conform", "nvec_nonempty",
+           "GxB_INDEX_MAX", "GxB_HYPER_DEFAULT", "GxB_ALWAYS_HYPER",
+           "GxB_NEVER_HYPER"]
 
 _tmap = jax.tree_util.tree_map
 
@@ -714,3 +716,70 @@ def cast_host(x, t: Type):
     from ..core.types import cast as _c
     return np.asarray(_c(jnp.asarray(x), t)) if len(x) else \
         np.asarray(x, t.dtype)
+
+
+# ---------------------------------------------------------------------------
+# hypersparsity conformance (GB_to_hyper_conform)
+# ---------------------------------------------------------------------------
+
+#: reference sentinels (``Include/GraphBLAS.h`` GxB_HYPER): a ratio of
+#: ALWAYS forces hypersparse, NEVER (any negative) forces standard CSR
+GxB_HYPER_DEFAULT = 1.0 / 16
+GxB_ALWAYS_HYPER = 1e100
+GxB_NEVER_HYPER = -1.0
+
+
+def nvec_nonempty(A) -> int:
+    """# of non-empty vectors (the reference caches this on the matrix,
+    ``GB_matrix.h:345``; here it is one device reduction on CSR, free
+    on hyper)."""
+    if isinstance(A, HyperMatrix):
+        return A.nvec
+    d = A.indptr[1:] - A.indptr[:-1]
+    return int(jnp.count_nonzero(d))
+
+
+def _ratio_of(A, ratio):
+    if ratio is not None:
+        return float(ratio)
+    r = A._options.get("hyper_ratio")
+    if r is None:
+        from ..core.options import get_option
+        r = get_option("hyper_ratio")
+    return float(r)
+
+
+def hyper_conform(A, ratio: Optional[float] = None):
+    """Auto-convert between CSR and hypersparse by the reference's
+    hysteresis rule (``GB_matrix.h:216-246``): a CsrMatrix becomes
+    hypersparse when ``nvec_nonempty <= nrows * ratio``, a HyperMatrix
+    becomes CSR when ``nvec > 2 * nrows * ratio``; in between the
+    current format is kept (so formats don't thrash).  ``ratio``
+    defaults to the per-matrix ``hyper_ratio`` option, then the global
+    one (``GxB_HYPER``); the ALWAYS/NEVER sentinels short-circuit.
+
+    The reference conforms implicitly after every operation (its
+    handles are pointers); with immutable containers conversion must
+    return a new object, so conformance runs at container boundaries —
+    import/export, ``from_coo`` — and wherever the caller asks.
+    A dimension too large for an O(nrows) indptr is a hard override:
+    the matrix stays hypersparse regardless of ratio."""
+    r = _ratio_of(A, ratio)
+    if isinstance(A, HyperMatrix):
+        if A.nrows > (1 << 28):       # indptr would not fit: stay hyper
+            return A
+        if r >= 1e99:                 # ALWAYS_HYPER
+            return A
+        if r < 0 or A.nvec > 2.0 * A.nrows * r:
+            out = A.to_csr()
+            out._options.update(A._options)
+            return out
+        return A
+    # CsrMatrix side
+    if r < 0:                         # NEVER_HYPER
+        return A
+    if r >= 1e99 or nvec_nonempty(A) <= A.nrows * r:
+        out = HyperMatrix.from_csr(A)
+        out._options.update(A._options)
+        return out
+    return A

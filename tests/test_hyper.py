@@ -324,11 +324,16 @@ def test_hyper_import_export_roundtrip(rng):
                             type=FP64)
     assert isinstance(B, HyperMatrix)   # too big to collapse to CSR
     assert as_dict(B) == dA
-    # small dimension collapses to CSR (empty rows are cheap there)
+    # small dimension goes through CSR then conforms by hyper_ratio:
+    # 2 non-empty rows of 100 <= 100/16 -> stays hypersparse (the
+    # GB_to_hyper_conform rule); with NEVER_HYPER it collapses to CSR
     S = hyper_from_coo([0, 5], [1, 3], [1.0, 2.0], 100, 100)
     out2 = gb.export_hyper_csr(S)
     C = gb.import_hyper_csr(*out2, type=FP64)
+    assert isinstance(C, HyperMatrix)
+    from graphblas_tpu.sparse import hyper_conform, GxB_NEVER_HYPER
     from graphblas_tpu.sparse.container import CsrMatrix
+    C = hyper_conform(C, GxB_NEVER_HYPER)
     assert isinstance(C, CsrMatrix)
     I, J, X = C.extractTuples()
     assert {(int(i), int(j)): x for i, j, x in zip(I, J, X)} == \
@@ -358,3 +363,82 @@ def test_hyper_empty_and_degenerate(rng):
     # A's column ids are in `ids`; B's rows are ids+1 -> no overlap
     C2 = hyper_spgemm(sr, A, B)
     assert C2.nvals == 0
+
+
+# ---------------------------------------------------------------------------
+# hypersparsity conformance (GB_to_hyper_conform, GB_matrix.h:216-246)
+# ---------------------------------------------------------------------------
+
+def test_hyper_conform_hysteresis():
+    from graphblas_tpu.sparse import (CsrMatrix, HyperMatrix,
+                                      hyper_conform, nvec_nonempty)
+    n = 1024
+    # 8 non-empty rows out of 1024: 8 <= 1024/16 -> becomes hyper
+    I = np.repeat(np.arange(8) * 100, 4)
+    J = np.tile(np.arange(4), 8)
+    X = np.arange(32, dtype=np.float32)
+    A = CsrMatrix.from_coo(I, J, X, n, n)
+    assert nvec_nonempty(A) == 8
+    H = hyper_conform(A)
+    assert isinstance(H, HyperMatrix) and H.nvec == 8
+    # in the hysteresis band (64 < nvec=128 <= 128): hyper stays hyper
+    I2 = np.arange(128) * 8
+    B = CsrMatrix.from_coo(I2, np.zeros(128, np.int64),
+                           np.ones(128, np.float32), n, n)
+    H2 = hyper_conform(HyperMatrix.from_csr(B))
+    assert isinstance(H2, HyperMatrix)
+    # ... but CSR in the band also stays CSR (no thrash)
+    assert isinstance(hyper_conform(B), CsrMatrix)
+    # past 2*n*ratio (nvec=200 > 128): hyper drops to CSR
+    I3 = np.arange(200) * 5
+    H3 = HyperMatrix.from_coo(I3, np.zeros(200, np.int64),
+                              np.ones(200, np.float32), n, n)
+    C3 = hyper_conform(H3)
+    assert isinstance(C3, CsrMatrix)
+    i3, j3, x3 = C3.extractTuples()
+    np.testing.assert_array_equal(i3, I3)
+
+
+def test_hyper_conform_sentinels_and_options():
+    from graphblas_tpu.sparse import (CsrMatrix, HyperMatrix,
+                                      hyper_conform, GxB_ALWAYS_HYPER,
+                                      GxB_NEVER_HYPER)
+    n = 64
+    I = np.arange(40)  # 40 of 64 rows: dense-ish, default keeps CSR
+    A = CsrMatrix.from_coo(I, I, np.ones(40, np.float32), n, n)
+    assert isinstance(hyper_conform(A), CsrMatrix)
+    assert isinstance(hyper_conform(A, GxB_ALWAYS_HYPER), HyperMatrix)
+    H = HyperMatrix.from_csr(A)
+    assert isinstance(hyper_conform(H, GxB_NEVER_HYPER), CsrMatrix)
+    assert isinstance(hyper_conform(H, GxB_ALWAYS_HYPER), HyperMatrix)
+    # per-matrix option scope wins over the global default
+    from graphblas_tpu.grb import GxB_Matrix_Option_set
+    GxB_Matrix_Option_set(A, "hyper_ratio", GxB_ALWAYS_HYPER)
+    out = hyper_conform(A)
+    assert isinstance(out, HyperMatrix)
+    # ... and the option travels with the conversion
+    assert out._options["hyper_ratio"] == GxB_ALWAYS_HYPER
+
+
+def test_hyper_conform_dimension_override():
+    from graphblas_tpu.sparse import (HyperMatrix, hyper_conform,
+                                      GxB_NEVER_HYPER)
+    big = 1 << 40
+    H = HyperMatrix.from_coo(np.array([0, big - 1]), np.array([1, 2]),
+                             np.ones(2, np.float32), big, big)
+    # NEVER_HYPER cannot force an impossible O(nrows) indptr
+    assert isinstance(hyper_conform(H, GxB_NEVER_HYPER), HyperMatrix)
+
+
+def test_import_hyper_csr_conforms():
+    import graphblas_tpu as gb
+    from graphblas_tpu.core.io_export import import_hyper_csr
+    from graphblas_tpu.sparse import HyperMatrix
+    n = 1 << 20
+    h = np.array([3, 77777], np.int64)
+    p = np.array([0, 2, 3], np.int64)
+    out = import_hyper_csr(n, n, 2, h, p, np.array([1, 5, 9]),
+                           np.array([1.0, 2.0, 3.0], np.float32),
+                           type=gb.FP32)
+    # 2 non-empty rows of 2^20 -> conforms to hypersparse
+    assert isinstance(out, HyperMatrix) and out.nvec == 2
