@@ -4,8 +4,10 @@ power-law graph through the edge-parallel CSR kernel — the BASELINE.json
 
 Prints one JSON line.  The reference's core SpMV is the sequential CSR
 walk inside its generated workers; published single-core rates for such
-kernels are O(100 M) nnz/s — the TPU edge-parallel form measured
-23.6 G nnz/s at scale 14 (device-resident operands, RTT-amortized).
+kernels are O(100 M) nnz/s.  Two device kernels are timed honestly
+(scalar-pull sync, see PERF.md): the one-gather edge-parallel form and
+the zero-gather sort-routed form (``spmv.py``); the JSON reports the
+better, with both rates attached.
 """
 
 import json
@@ -43,25 +45,35 @@ def main():
     y, _ = csr_mxv(sr, A, x)
     y.block_until_ready()
 
-    # kernel-rate timing: operand prep (casts/concats) hoisted, the
-    # fused jitted SpMV dispatched K times and blocked once.  Dense-x
-    # fast path: one per-lane gather + widened-cumsum row sums.
-    from graphblas_tpu.sparse.spmv import _csr_mxv_densex_jit as _kern
+    # kernel-rate timing: operand prep (casts/concats/plan) hoisted, the
+    # fused jitted SpMV dispatched K times and blocked once.
+    from graphblas_tpu.sparse.spmv import (_csr_mxv_densex_jit,
+                                           _csr_mxv_sorted_jit, spmv_plan)
     x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
-    args = (sr.add.op.name, sr, A.nrows, sr.ztype.dtype, A.values,
-            A.indices, A.rowids, A.indptr, x_ext, sr.add.identity)
+    gather_args = (sr.add.op.name, sr, A.nrows, sr.ztype.dtype, A.values,
+                   A.indices, A.rowids, A.indptr, x_ext, sr.add.identity)
+    avals_csc, rank, spp, scc = spmv_plan(A)
+    sorted_args = (sr.add.op.name, sr, A.nrows, sr.ztype.dtype, avals_csc,
+                   rank, spp, scc, A.rowids, A.indptr, x_ext,
+                   sr.add.identity)
     sum_jit = jax.jit(lambda t: jnp.sum(t[0]))
+
     # block_until_ready() does NOT block on the axon tunnel; the only
     # real completion barrier is a host pull, so each loop dispatches K
     # SpMVs + one scalar sum and pulls that scalar (FIFO drain).
-    float(sum_jit(_kern(*args)))
-    K = 50
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        ys = [_kern(*args) for _ in range(K)]
-        float(sum_jit(ys[-1]))
-        dt = min(dt, (time.perf_counter() - t0) / K)
+    def measure(kern, args, K=50):
+        float(sum_jit(kern(*args)))  # warm + sync
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ys = [kern(*args) for _ in range(K)]
+            float(sum_jit(ys[-1]))
+            dt = min(dt, (time.perf_counter() - t0) / K)
+        return dt
+
+    dt_gather = measure(_csr_mxv_densex_jit, gather_args)
+    dt_sorted = measure(_csr_mxv_sorted_jit, sorted_args)
+    dt = min(dt_gather, dt_sorted)
     rate = A.nvals / dt
 
     # correctness spot check AFTER timing: a large device-to-host pull
@@ -82,6 +94,9 @@ def main():
         "value": rate,
         "unit": "nnz/s",
         "vs_baseline": rate / 1e8,  # nominal 100 M nnz/s CPU-core rate
+        "gather_nnz_per_s": A.nvals / dt_gather,
+        "sorted_nnz_per_s": A.nvals / dt_sorted,
+        "gflops": 2 * A.nvals / dt / 1e9,
     }))
 
 

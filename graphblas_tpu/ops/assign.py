@@ -25,6 +25,7 @@ from ..core.matrix import Matrix, Vector
 from ..core.ops import BinaryOp
 from ..core.types import Type, cast_value
 from ..utils.indices import normalize_indices
+from ..utils import counters
 
 __all__ = ["assign", "subassign", "assign_scalar", "subassign_scalar",
            "row_assign", "col_assign", "assign_vector", "subassign_vector"]
@@ -69,6 +70,7 @@ def _to_vector(m: Matrix, col: bool = True):
     return Vector(_tmap(lambda a: a[ax], m.values), m.pattern[ax], m.type)
 
 
+@counters.counted("assign")
 def assign(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
            A: Union[Matrix, Any], I: Any = None, J: Any = None,
            desc: Optional[Descriptor] = None, *,
@@ -107,6 +109,7 @@ def assign(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     return apply_mask(C, M, Z.values, Z.pattern, d)
 
 
+@counters.counted("subassign")
 def subassign(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
               A: Union[Matrix, Any], I: Any = None, J: Any = None,
               desc: Optional[Descriptor] = None, *,

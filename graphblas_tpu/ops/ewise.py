@@ -22,6 +22,7 @@ from ..core.mask import accum_mask
 from ..core.matrix import Matrix, Vector
 from ..core.ops import BinaryOp, SelectOp, UnaryOp
 from ..core.types import Type, cast
+from ..utils import counters
 
 __all__ = ["eWiseAdd", "eWiseMult", "apply", "select"]
 
@@ -66,6 +67,7 @@ def _ewise_T(op: BinaryOp, A, B, union: bool):
     return out.canonical()
 
 
+@counters.counted("eWiseAdd")
 def eWiseAdd(C, M, accum: Optional[BinaryOp], op: BinaryOp,
              A, B, desc: Optional[Descriptor] = None):
     """C<M> = accum(C, A+B): set-union merge (reference ``GrB_eWiseAdd``)."""
@@ -78,6 +80,7 @@ def eWiseAdd(C, M, accum: Optional[BinaryOp], op: BinaryOp,
     return accum_mask(C, M, T, accum, d)
 
 
+@counters.counted("eWiseMult")
 def eWiseMult(C, M, accum: Optional[BinaryOp], op: BinaryOp,
               A, B, desc: Optional[Descriptor] = None):
     """C<M> = accum(C, A.*B): intersection merge (``GrB_eWiseMult``)."""
@@ -90,6 +93,7 @@ def eWiseMult(C, M, accum: Optional[BinaryOp], op: BinaryOp,
     return accum_mask(C, M, T, accum, d)
 
 
+@counters.counted("apply")
 def apply(C, M, accum: Optional[BinaryOp], op: UnaryOp, A,
           desc: Optional[Descriptor] = None):
     """C<M> = accum(C, op(A)) (reference ``GrB_apply`` / ``GB_apply_op``).
@@ -114,6 +118,7 @@ def _index_grids(shape):
     return i, j
 
 
+@counters.counted("select")
 def select(C, M, accum: Optional[BinaryOp], op: SelectOp, A,
            thunk: Any = 0, desc: Optional[Descriptor] = None):
     """C<M> = accum(C, select(A, thunk)) (reference ``GxB_select``)."""

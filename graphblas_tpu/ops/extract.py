@@ -18,12 +18,14 @@ from ..core.mask import accum_mask
 from ..core.matrix import Matrix, Vector
 from ..core.ops import BinaryOp
 from ..utils.indices import normalize_indices
+from ..utils import counters
 
 __all__ = ["extract", "extract_vector", "extract_col"]
 
 _tmap = jax.tree_util.tree_map
 
 
+@counters.counted("extract")
 def extract(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
             A: Matrix, I: Any = None, J: Any = None,
             desc: Optional[Descriptor] = None) -> Matrix:
@@ -57,6 +59,7 @@ def extract(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     return accum_mask(C, M, T, accum, d)
 
 
+@counters.counted("extract_vector")
 def extract_vector(w: Vector, m: Optional[Vector],
                    accum: Optional[BinaryOp], u: Vector, I: Any = None,
                    desc: Optional[Descriptor] = None) -> Vector:

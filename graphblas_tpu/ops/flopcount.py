@@ -33,6 +33,8 @@ _LAST_METHOD = {"method": None}
 
 def record_axb_method(method: str) -> None:
     _LAST_METHOD["method"] = method
+    from ..utils import counters
+    counters.record_method(method)
 
 
 def last_axb_method() -> Optional[str]:

@@ -41,6 +41,7 @@ from ..core.matrix import Matrix, Vector
 from ..core.ops import BinaryOp
 from ..core.semirings import Semiring
 from ..core.types import Type, BOOL, cast
+from ..utils import counters
 
 __all__ = ["mxm", "mxv", "vxm", "semiring_mm"]
 
@@ -333,10 +334,12 @@ def _mxm_sparse(C, M, accum, sr: Semiring, A, B, d: Descriptor):
     if C.shape != (m, n):
         raise DimensionMismatch(
             f"C is {C.shape}, product is {(m, n)}")
+    est_flops = max(1, (A.nvals * B.nvals) // max(k, 1))
     engine = choose_axb_method(
         m, k, n, A.nvals, B.nvals,
         mnnz=Mc.nvals if Mc is not None else None,
-        est_flops=max(1, (A.nvals * B.nvals) // max(k, 1)))
+        est_flops=est_flops)
+    counters.add_flops(est_flops)
     if d.axb_method in ("gustavson", "heap"):
         engine = "esc"
     elif d.axb_method == "dot" and engine != "esc":
@@ -357,6 +360,7 @@ def _mxm_sparse(C, M, accum, sr: Semiring, A, B, d: Descriptor):
     return csr_accum_mask(C, Mc, T, accum, d)
 
 
+@counters.counted("mxm")
 def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
         semiring: Semiring, A: Matrix, B: Matrix,
         desc: Optional[Descriptor] = None) -> Matrix:
@@ -411,6 +415,7 @@ def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     return accum_mask(C, M, T, accum, d)
 
 
+@counters.counted("mxv")
 def mxv(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
         semiring: Semiring, A: Matrix, u: Vector,
         desc: Optional[Descriptor] = None) -> Vector:
@@ -442,6 +447,7 @@ def mxv(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
     return accum_mask(w, m, T, accum, d)
 
 
+@counters.counted("vxm")
 def vxm(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
         semiring: Semiring, u: Vector, A: Matrix,
         desc: Optional[Descriptor] = None) -> Vector:

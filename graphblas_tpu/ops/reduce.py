@@ -21,6 +21,7 @@ from ..core.matrix import Matrix, Vector
 from ..core.monoids import Monoid
 from ..core.ops import BinaryOp
 from ..core.types import cast, cast_value
+from ..utils import counters
 
 __all__ = ["reduce_to_vector", "reduce_to_scalar", "reduce"]
 
@@ -33,6 +34,7 @@ def _as_monoid(op: Union[Monoid, BinaryOp]) -> Monoid:
     return monoid_ns[op.name.lower()][op.ztype]
 
 
+@counters.counted("reduce_to_vector")
 def reduce_to_vector(w: Vector, m: Optional[Vector],
                      accum: Optional[BinaryOp],
                      op: Union[Monoid, BinaryOp], A: Matrix,
@@ -53,6 +55,7 @@ def reduce_to_vector(w: Vector, m: Optional[Vector],
     return accum_mask(w, m, T, accum, d)
 
 
+@counters.counted("reduce_to_scalar")
 def reduce_to_scalar(accum: Optional[BinaryOp], op: Union[Monoid, BinaryOp],
                      A, c: Any = None):
     """c = accum(c, reduce-all(A)); returns a host scalar.

@@ -18,12 +18,14 @@ from ..core.mask import accum_mask
 from ..core.matrix import Matrix
 from ..core.ops import BinaryOp, UnaryOp
 from ..core.types import cast
+from ..utils import counters
 
 __all__ = ["transpose", "kron"]
 
 _tmap = jax.tree_util.tree_map
 
 
+@counters.counted("transpose")
 def transpose(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
               A: Matrix, desc: Optional[Descriptor] = None,
               op: Optional[UnaryOp] = None) -> Matrix:
@@ -42,6 +44,7 @@ def transpose(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     return accum_mask(C, M, T, accum, d)
 
 
+@counters.counted("kron")
 def kron(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
          op: BinaryOp, A: Matrix, B: Matrix,
          desc: Optional[Descriptor] = None) -> Matrix:

@@ -191,9 +191,15 @@ def csr_from_coo(I, J, X, nrows: int, ncols: int,
     indices[:nvals] = J
     rowids[:nvals] = I
     values[:nvals] = X.astype(t.dtype, copy=False)
-    return CsrMatrix(jnp.asarray(indptr), jnp.asarray(indices),
-                     jnp.asarray(rowids), jnp.asarray(values),
-                     nvals, nrows, ncols, t)
+    A = CsrMatrix(jnp.asarray(indptr), jnp.asarray(indices),
+                  jnp.asarray(rowids), jnp.asarray(values),
+                  nvals, nrows, ncols, t)
+    # stash the host-side pattern (it exists right here anyway): kernel
+    # plans (spmv_plan, BSR schedules) read it instead of pulling the
+    # device arrays back — a large device->host pull both wastes time
+    # and degrades this runtime's dispatch latency (PERF.md)
+    A._options["host_pattern"] = (rowids, indices)
+    return A
 
 
 def _csr_from_coo_udt(I, J, X, nrows: int, ncols: int, t: Type,

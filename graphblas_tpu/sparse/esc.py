@@ -253,7 +253,17 @@ def csr_spgemm(sr: Semiring, A: CsrMatrix, B: CsrMatrix,
         raise NotImplementedError(
             "dimension product exceeds 2^63; use the hyper container")
 
-    flops = int(_flops_jit(A.indices, B.indptr, k))
+    # flop total sizes the expansion buffer.  When both operands carry
+    # their build-time host patterns, compute it with numpy — a device
+    # round-trip per call both costs ~1 RTT and degrades subsequent
+    # dispatch latency on this runtime (PERF.md)
+    hpA = A._options.get("host_pattern")
+    hpB = B._options.get("host_pattern")
+    if hpA is not None and hpB is not None:
+        degB = np.bincount(hpB[0][:B.nvals], minlength=k)
+        flops = int(degB[hpA[1][:A.nvals]].sum())
+    else:
+        flops = int(_flops_jit(A.indices, B.indptr, k))
     if flops == 0 or (mask is not None and not complement
                       and mask.nvals == 0):
         return _empty_csr(m, n, zt)

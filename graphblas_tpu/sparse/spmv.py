@@ -26,7 +26,7 @@ from ..core.types import Type
 from .container import CsrMatrix
 
 __all__ = ["csr_mxv", "csr_vxm", "segment_reduce",
-           "segment_reduce_sorted"]
+           "segment_reduce_sorted", "spmv_plan"]
 
 
 def segment_reduce_sorted(op_fn, identity, vals, seg_ids,
@@ -220,6 +220,136 @@ def _csr_mxv_densex_jit(add_name: str, sr: Semiring, nrows: int, zdtype,
     return y, ypat
 
 
+# ---------------------------------------------------------------------------
+# Sort-routed SpMV: the per-lane x-gather is the whole cost of the
+# kernels above (~0.12 G lanes/s on this machine, PERF.md), while
+# cumsum runs ~3.9 G/s and sort ~0.4 G keys/s.  So for dense x we can
+# do better with zero per-lane gathers:
+#   * precompute (once per matrix) the CSC ordering of the padded
+#     lanes: values reordered, the original CSR position of each CSC
+#     lane ("rank"), and the column-segment starts;
+#   * broadcast x to lanes with a difference-scatter at segment starts
+#     + an exact bitcast cummax (piecewise-constant fill-forward built
+#     from fast primitives);
+#   * multiply, then route the PRODUCTS back to CSR order with one
+#     payload sort keyed by rank;
+#   * reduce rows with the widened cumsum (PLUS) or the segmented scan
+#     (other monoids) as usual.
+# The sort is the new bottleneck: ~0.4 G lanes/s ceiling vs the gather
+# kernel's 0.12 G — measured ~3x on scale-14 R-MAT (bench_spmv.py).
+# Reference counterpart: the generated SpMV row walks
+# (``Generator/GB_AxB.c``); the restructuring is purely the TPU's
+# sort/scan-over-gather preference.
+
+#: 4-byte dtypes the bitcast broadcast can carry exactly
+_SORTABLE_X = {np.dtype(np.float32), np.dtype(np.int32),
+               np.dtype(np.uint32), np.dtype(np.int16),
+               np.dtype(np.uint16), np.dtype(np.int8),
+               np.dtype(np.uint8), np.dtype(np.bool_)}
+
+#: below this lane count the extra sort stages cost more than the one
+#: gather they replace (both are dispatch-bound down here anyway)
+_SORTED_MIN_LANES = 1 << 14
+
+
+def spmv_plan(A: CsrMatrix):
+    """Host-side once-per-matrix precompute for the sort-routed SpMV
+    (cached on the container).  Returns device arrays
+    (avals_csc, rank, seg_starts, seg_cols)."""
+    plan = A._options.get("_spmv_plan")
+    if plan is not None:
+        return plan
+    host_pat = A._options.get("host_pattern")
+    if host_pat is not None:
+        rows, cols = host_pat
+    else:
+        cols = np.asarray(A.indices)
+        rows = np.asarray(A.rowids)
+    order = np.lexsort((rows, cols))      # CSC ordering of ALL lanes;
+    # padded lanes (col == ncols sentinel) sort to the tail and their
+    # rank (original position >= nvals) routes them back to the tail
+    cols_csc = cols[order]
+    E = len(order)
+    starts = np.ones(E, bool)
+    starts[1:] = cols_csc[1:] != cols_csc[:-1]
+    sp = np.nonzero(starts)[0].astype(np.int32)
+    sc = cols_csc[sp].astype(np.int32)
+    nseg = len(sp)
+    segcap = max(8, 1 << int(np.ceil(np.log2(max(nseg, 1)))))
+    sp_pad = np.full(segcap, E, np.int32)       # mode="drop" slot
+    sp_pad[:nseg] = sp
+    sc_pad = np.full(segcap, A.ncols, np.int32)  # identity x slot
+    sc_pad[:nseg] = sc
+    if A.type.is_udt:
+        avals_csc = jax.tree_util.tree_map(
+            lambda v: jnp.take(v, jnp.asarray(order), axis=0), A.values)
+    else:
+        avals_csc = jnp.take(A.values, jnp.asarray(order), axis=0)
+    plan = (avals_csc, jnp.asarray(order.astype(np.int32)),
+            jnp.asarray(sp_pad), jnp.asarray(sc_pad))
+    A._options["_spmv_plan"] = plan
+    return plan
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _csr_mxv_sorted_jit(add_name: str, sr: Semiring, nrows: int, zdtype,
+                        avals_csc, rank, sp, sc, rows_csr, indptr,
+                        x_ext, identity):
+    E = avals_csc.shape[0]
+    xs = jnp.take(x_ext, sc, axis=0)        # O(nseg) gather only
+    # exact piecewise-constant broadcast: pack (segstart+1) << 32 |
+    # x-bits into int64 and cummax — the position tag is strictly
+    # increasing across segments, so the max at every lane carries its
+    # own segment's exact 32 bits
+    if xs.dtype == jnp.float32:
+        bits = jax.lax.bitcast_convert_type(xs, jnp.uint32)
+    else:
+        bits = jax.lax.bitcast_convert_type(
+            xs.astype(jnp.int32), jnp.uint32)  # two's-complement exact
+    tag0 = ((sp.astype(jnp.int64) + 1) << 32) | bits.astype(jnp.int64)
+    tag = jnp.zeros((E,), jnp.int64).at[sp].set(tag0, mode="drop")
+    carried = jax.lax.cummax(tag)
+    lane_bits = (carried & 0xFFFFFFFF).astype(jnp.uint32)
+    if x_ext.dtype == jnp.float32:
+        xlane = jax.lax.bitcast_convert_type(lane_bits, jnp.float32)
+    else:
+        xlane = jax.lax.bitcast_convert_type(
+            lane_bits, jnp.int32).astype(x_ext.dtype)
+    z = _mult_apply(sr, avals_csc, xlane)
+    # route products to CSR order: one payload sort by original position
+    _, z_csr = jax.lax.sort([rank, z], num_keys=1)
+    nm = add_name.upper()
+    deg = indptr[1:] - indptr[:-1]
+    ypat = deg > 0
+    if nm == "PLUS" and np.dtype(z_csr.dtype) in _CUMSUM_WIDE:
+        wide = _CUMSUM_WIDE[np.dtype(z_csr.dtype)]
+        cs = jnp.cumsum(z_csr.astype(wide))
+        cs0 = jnp.concatenate([jnp.zeros((1,), wide), cs])
+        y = cs0[jnp.minimum(indptr[1:], E)] - \
+            cs0[jnp.minimum(indptr[:-1], E)]
+    else:
+        live = rows_csr < nrows
+        z_csr = jnp.where(live, z_csr, jnp.asarray(identity, z_csr.dtype))
+        seg = jnp.minimum(rows_csr, nrows)
+        y = segment_reduce_sorted(sr.add.op, identity, z_csr, seg,
+                                  nrows + 1)[:nrows]
+    y = jnp.where(ypat, y.astype(zdtype), jnp.zeros((), zdtype))
+    return y, ypat
+
+
+def _sorted_path_ok(sr: Semiring, A: CsrMatrix) -> bool:
+    if A.type.is_udt or sr.ztype.is_udt or sr.xtype.is_udt \
+            or sr.ytype.is_udt:
+        return False
+    if np.dtype(sr.ytype.dtype) not in _SORTABLE_X:
+        return False
+    if A.nzmax < _SORTED_MIN_LANES:
+        return False
+    # plan precompute pulls the pattern to host — impossible on tracers
+    # (e.g. whole-loop jitted solvers call the gather kernels directly)
+    return not isinstance(A.indices, jax.core.Tracer)
+
+
 def csr_mxv(sr: Semiring, A: CsrMatrix, x, x_pattern=None):
     """(yvals, ypat) = A *.sr* x.  x: dense [ncols] value array;
     ``x_pattern`` marks present entries (None = all present).
@@ -250,6 +380,14 @@ def csr_mxv(sr: Semiring, A: CsrMatrix, x, x_pattern=None):
     # identity slot for padded column indices (sentinel = ncols)
     x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
     if x_pattern is None:
+        if _sorted_path_ok(sr, A):
+            # dense x, large matrix: zero-gather sort-routed kernel
+            avals_csc, rank, sp, sc = spmv_plan(A)
+            return _csr_mxv_sorted_jit(sr.add.op.name, sr, A.nrows,
+                                       sr.ztype.dtype,
+                                       gbcast(avals_csc, sr.xtype),
+                                       rank, sp, sc, A.rowids, A.indptr,
+                                       x_ext, ident)
         # dense x: one-gather kernel, no per-lane pattern work
         return _csr_mxv_densex_jit(sr.add.op.name, sr, A.nrows,
                                    sr.ztype.dtype, avals, A.indices,

@@ -421,3 +421,69 @@ def test_masked_mxm_truthy_counts_and_bool():
                    semiring.lor_land[gb.BOOL], A, A)
     assert np.array_equal(Cb.to_dense(), wantb.to_dense())
     assert np.array_equal(Cb.pattern_np(), wantb.pattern_np())
+
+
+@pytest.mark.parametrize("srname,ty", [
+    ("plus_times", "FP32"), ("plus_times", "INT32"),
+    ("plus_times", "UINT32"), ("min_plus", "INT32"),
+    ("max_times", "FP32"), ("lor_land", "BOOL"),
+    ("plus_pair", "INT32"), ("min_first", "FP32"),
+])
+def test_csr_mxv_sorted_matches_gather(monkeypatch, srname, ty):
+    """The zero-gather sort-routed dense-x kernel must agree exactly
+    with the gather kernel for every eligible semiring/dtype."""
+    import graphblas_tpu.sparse.spmv as spmv_mod
+    t = getattr(gb, ty)
+    rng = np.random.default_rng(11)
+    n, m = 60, 45
+    nz = 700
+    I = rng.integers(0, n, nz)
+    J = rng.integers(0, m, nz)
+    if ty == "BOOL":
+        X = np.ones(nz, bool)
+        x = rng.random(m) > 0.4
+    elif ty == "FP32":
+        X = rng.normal(size=nz).astype(np.float32)
+        x = rng.normal(size=m).astype(np.float32)
+    else:
+        X = rng.integers(1, 9, nz).astype(t.dtype)
+        x = rng.integers(-4, 9, m).astype(t.dtype) if ty == "INT32" \
+            else rng.integers(0, 9, m).astype(t.dtype)
+    A = sp.CsrMatrix.from_coo(I, J, X, n, m, type=t)
+    sr = semiring[srname][t]
+    # gather kernel (sorted path disabled by the size gate)
+    assert not spmv_mod._sorted_path_ok(sr, A)
+    y0, p0 = sp.csr_mxv(sr, A, jnp.asarray(x))
+    # force the sorted path
+    monkeypatch.setattr(spmv_mod, "_SORTED_MIN_LANES", 1)
+    assert spmv_mod._sorted_path_ok(sr, A)
+    y1, p1 = sp.csr_mxv(sr, A, jnp.asarray(x))
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))
+    g0 = np.where(np.asarray(p0), np.asarray(y0), 0)
+    g1 = np.where(np.asarray(p1), np.asarray(y1), 0)
+    if ty == "FP32":
+        assert np.allclose(g0, g1, rtol=1e-6, atol=1e-7)
+    else:
+        assert np.array_equal(g0, g1)
+    # plan is cached once per container
+    assert "_spmv_plan" in A._options
+
+
+def test_csr_mxv_sorted_excludes_fp64_and_sparse_x(monkeypatch):
+    import graphblas_tpu.sparse.spmv as spmv_mod
+    monkeypatch.setattr(spmv_mod, "_SORTED_MIN_LANES", 1)
+    rng = np.random.default_rng(3)
+    I = rng.integers(0, 30, 200)
+    J = rng.integers(0, 30, 200)
+    X = rng.normal(size=200)
+    A = sp.CsrMatrix.from_coo(I, J, X, 30, 30, type=gb.FP64)
+    sr = semiring.plus_times[gb.FP64]
+    # f64 x cannot ride the 32-bit bitcast broadcast
+    assert not spmv_mod._sorted_path_ok(sr, A)
+    x = rng.normal(size=30)
+    y, p = sp.csr_mxv(sr, A, jnp.asarray(x))
+    D = np.zeros((30, 30)); D[I, J] = 0
+    I2, J2, X2 = A.extractTuples(); D[I2, J2] = X2
+    assert np.allclose(np.where(np.asarray(p), np.asarray(y), 0),
+                       np.where(D.any(axis=1) | (np.diff(np.asarray(A.indptr)) > 0),
+                                D @ x, 0))
