@@ -53,10 +53,12 @@ def import_csr(nrows: int, ncols: int, indptr, indices, values,
 
 def import_csc(nrows: int, ncols: int, indptr, indices, values,
                type: Optional[Type] = None):
-    """CSC arrays -> CsrMatrix (transposed assembly;
-    ``GxB_Matrix_import_CSC``)."""
-    AT = import_csr(ncols, nrows, indptr, indices, values, type)
-    return AT.T()
+    """CSC arrays -> CscMatrix, zero-copy (``GxB_Matrix_import_CSC``):
+    the arrays land unchanged as the by-col container's storage, the
+    same O(1) move semantics the reference gives its CSC format."""
+    from ..sparse.container import CscMatrix
+    return CscMatrix(import_csr(ncols, nrows, indptr, indices, values,
+                                type))
 
 
 def import_hyper_csr(nrows: int, ncols: int, nvec: int, h, p, indices,
@@ -127,8 +129,16 @@ def export_hyper_csr(A):
 
 def export_csc(A):
     """(nrows, ncols, col indptr, row indices, values) in CSC order.
-    CsrMatrix exports via its tuple list (O(nnz log nnz) re-sort), never
-    through a dense intermediate."""
+    A CscMatrix exports its stored arrays directly (O(1) move
+    semantics); CsrMatrix exports via its tuple list (O(nnz log nnz)
+    re-sort), never through a dense intermediate."""
+    from ..sparse.container import CscMatrix
+    if isinstance(A, CscMatrix):
+        tr = A.tr
+        nv = tr.nvals
+        return (A.nrows, A.ncols, np.asarray(tr.indptr, np.int64),
+                np.asarray(tr.indices)[:nv].astype(np.int64),
+                np.asarray(tr.values)[:nv])
     I, J, X = A.extractTuples()
     order = np.lexsort((I, J))
     I, J, X = I[order], J[order], X[order]

@@ -58,7 +58,53 @@ def check(obj: Any) -> bool:
     if isinstance(obj, (Type, UnaryOp, BinaryOp, Monoid, SelectOp,
                         Descriptor)):
         return True
+    from ..sparse.hyper import HyperMatrix
+    if isinstance(obj, HyperMatrix):
+        return _check_hyper(obj)
+    csr = _as_plain_csr(obj)
+    if csr is not None:
+        # spok-style CSR invariants (Test/spok): monotone pointers,
+        # in-range sorted indices, padding sentinels intact
+        ip = np.asarray(csr.indptr)
+        if ip[0] != 0 or ip[-1] != csr.nvals:
+            raise ValueError("indptr endpoints violated")
+        if np.any(np.diff(ip) < 0):
+            raise ValueError("indptr not monotone")
+        I = np.asarray(csr.rowids)
+        J = np.asarray(csr.indices)
+        nv = csr.nvals
+        if nv and (J[:nv].min() < 0 or J[:nv].max() >= csr.ncols):
+            raise ValueError("column index out of range")
+        lin = I[:nv].astype(np.int64) * csr.ncols + J[:nv]
+        if np.any(np.diff(lin) <= 0):
+            raise ValueError("entries not strictly sorted by (i,j)")
+        if np.any(J[nv:] != csr.ncols) or np.any(I[nv:] != csr.nrows):
+            raise ValueError("padding sentinels corrupted")
+        return True
     raise TypeError(f"not a GraphBLAS object: {type(obj)}")
+
+
+def _as_plain_csr(obj):
+    # CsrMatrix view of a sparse container (None if not one)
+    from ..sparse.container import CsrMatrix, CscMatrix
+    if isinstance(obj, CsrMatrix):
+        return obj
+    if isinstance(obj, CscMatrix):
+        return obj.tr
+    return None
+
+
+def _check_hyper(H) -> bool:
+    # hyper invariants: row list strictly sorted + in range, hptr
+    # monotone with matching endpoints (GB_matrix.h hyper rules)
+    h = np.asarray(H.h)[:H.nvec]
+    if h.size and (np.any(np.diff(h) <= 0) or h[0] < 0
+                   or h[-1] >= H.nrows):
+        raise ValueError("hyper row list not strictly sorted in range")
+    hp = np.asarray(H.hptr)
+    if hp[0] != 0 or hp[H.nvec] != H.nvals or np.any(np.diff(hp) < 0):
+        raise ValueError("hyper pointers violated")
+    return True
 
 
 def fprint(obj: Any, name: str = "", level: int = SHORT,
@@ -70,6 +116,24 @@ def fprint(obj: Any, name: str = "", level: int = SHORT,
         check(obj)
         return
 
+    from ..sparse.hyper import HyperMatrix
+    if _as_plain_csr(obj) is not None or isinstance(obj, HyperMatrix):
+        is_csc = type(obj).__name__ == "CscMatrix"
+        fmt = "by_col (CSC)" if is_csc else (
+            "hypersparse" if type(obj).__name__ == "HyperMatrix"
+            else "by_row (CSR)")
+        w(f"\nGraphBLAS matrix: {name} \nnrows: {obj.nrows} "
+          f"ncols: {obj.ncols} \nGraphBLAS type:  "
+          f"{obj.type.name.lower()} format: {fmt} nvals: {obj.nvals}\n")
+        if level >= SHORT and not obj.type.is_udt:
+            I, J, X = obj.extractTuples()
+            limit = obj.nvals if level >= COMPLETE else min(obj.nvals, 30)
+            for k in range(limit):
+                w(f"    ({I[k]},{J[k]})   {X[k]}\n")
+            if limit < obj.nvals:
+                w("    ...\n")
+        check(obj)
+        return
     if isinstance(obj, (Matrix, Vector)):
         m = obj.wait()
         is_vec = isinstance(obj, Vector)

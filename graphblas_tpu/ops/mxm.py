@@ -27,6 +27,7 @@ matmul's consumer.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional
 
@@ -304,13 +305,15 @@ def semiring_mm(sr: Semiring, Av, Ap, Bv, Bp, method_hint=None):
 # ---------------------------------------------------------------------------
 
 def _as_bitmap(X):
-    """Accept CsrMatrix anywhere a bitmap Matrix is expected."""
-    from ..sparse.container import CsrMatrix
-    return X.to_matrix() if isinstance(X, CsrMatrix) else X
+    """Accept CsrMatrix/CscMatrix anywhere a bitmap Matrix is expected."""
+    from ..sparse.container import CsrMatrix, CscMatrix
+    return X.to_matrix() if isinstance(X, (CsrMatrix, CscMatrix)) else X
 
 
 def _as_csr(X):
-    from ..sparse.container import CsrMatrix
+    from ..sparse.container import CsrMatrix, CscMatrix
+    if isinstance(X, CscMatrix):
+        return X.to_csr()
     return X if isinstance(X, CsrMatrix) else CsrMatrix.from_matrix(
         X.wait())
 
@@ -421,8 +424,14 @@ def mxv(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
         desc: Optional[Descriptor] = None) -> Vector:
     """w<m> = accum(w, A*u) (reference ``GrB_mxv``).  A CsrMatrix input
     with no transpose routes to the edge-parallel sparse kernel."""
-    from ..sparse.container import CsrMatrix
+    from ..sparse.container import CsrMatrix, CscMatrix
     d = desc_of(desc)
+    if isinstance(A, CscMatrix):
+        # by-col orientation: A'*u is free (stored arrays ARE A' in
+        # CSR); plain A*u pays one resort — the reference's explicit
+        # transpose when format and op orientation disagree
+        A, d = (A.T(), dataclasses.replace(d, tran0=False)) if d.tran0 \
+            else (A.to_csr(), d)
     if isinstance(A, CsrMatrix):
         from ..sparse.spmv import csr_mxv
         if d.tran0:
@@ -452,8 +461,14 @@ def vxm(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
         semiring: Semiring, u: Vector, A: Matrix,
         desc: Optional[Descriptor] = None) -> Vector:
     """w<m> = accum(w, u'*A) (reference ``GrB_vxm``; INP1 transposes A)."""
-    from ..sparse.container import CsrMatrix
+    from ..sparse.container import CsrMatrix, CscMatrix
     d = desc_of(desc)
+    if isinstance(A, CscMatrix):
+        # by-col orientation: u'*A runs directly on the stored arrays
+        # (A' in CSR) with zero conversion — the op CSC exists for;
+        # u'*A' pays the resort instead
+        A, d = (A.to_csr(), d) if d.tran1 \
+            else (A.T(), dataclasses.replace(d, tran1=True))
     if isinstance(A, CsrMatrix):
         # u' * A' = (A ⊗ᵀ u)': the CSR kernel computes mult(A_jk, u_k),
         # so flip the mult (and its domains) to preserve operand order

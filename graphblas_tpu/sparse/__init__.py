@@ -1,7 +1,7 @@
 """Large-graph sparse backend: padded-CSR containers, bit-packed
 patterns, edge-parallel SpMV and masked SpGEMM kernels."""
 
-from .container import CsrMatrix, csr_from_coo
+from .container import CsrMatrix, CscMatrix, csr_from_coo
 from .bitpack import pack_pattern, popcount, words_for
 from .spmv import csr_mxv, csr_vxm, segment_reduce
 from .spgemm import (edge_intersection_counts, masked_spgemm_counts,
@@ -28,7 +28,7 @@ from .hyper import (HyperMatrix, hyper_from_coo, hyper_spgemm,
                     GxB_NEVER_HYPER)
 
 __all__ = [
-    "CsrMatrix", "csr_from_coo", "pack_pattern", "popcount", "words_for",
+    "CsrMatrix", "CscMatrix", "csr_from_coo", "pack_pattern", "popcount", "words_for",
     "csr_mxv", "csr_vxm", "segment_reduce", "edge_intersection_counts",
     "masked_spgemm_counts", "tricount_sparse", "ktruss_sparse",
     "tile_pattern", "tile_pattern_from_coo", "tile_matrix", "bsr_masked_count", "tricount_bsr", "TilePattern",

@@ -26,7 +26,7 @@ import numpy as np
 from ..core.matrix import Matrix
 from ..core.types import Type, BOOL, FP64, type_of_dtype
 
-__all__ = ["CsrMatrix", "csr_from_coo"]
+__all__ = ["CsrMatrix", "CscMatrix", "csr_from_coo"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -249,3 +249,110 @@ def _csr_from_coo_udt(I, J, X, nrows: int, ncols: int, t: Type,
     return CsrMatrix(jnp.asarray(indptr), jnp.asarray(indices),
                      jnp.asarray(rowids), values,
                      nvals, nrows, ncols, t)
+
+
+@jax.tree_util.register_pytree_node_class
+class CscMatrix:
+    """By-column twin of :class:`CsrMatrix` — the reference's
+    ``GxB_BY_COL`` format (``GB_matrix.h:394`` ``is_csc``).  Stores the
+    transpose's padded-CSR arrays, so column access is O(1), transpose
+    is free (``.T()`` returns the underlying CsrMatrix), CSC
+    import/export is zero-copy, and ``vxm`` (x'A) is the native fast
+    op — mirroring the reference, where the CSC orientation makes the
+    column-oriented kernels the cheap ones.  Row-oriented ops convert
+    via :meth:`to_csr` (one O(nnz log nnz) resort), exactly the
+    explicit-transpose cost the reference pays in ``GB_AxB_meta`` when
+    formats disagree."""
+
+    __slots__ = ("tr", "_options")
+
+    def __init__(self, tr: CsrMatrix):
+        self.tr = tr
+        self._options = {"format": "by_col"}
+
+    def tree_flatten(self):
+        return ((self.tr,), ())
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    # -- metadata mirrors ----------------------------------------------------
+    @property
+    def nrows(self) -> int:
+        return self.tr.ncols
+
+    @property
+    def ncols(self) -> int:
+        return self.tr.nrows
+
+    @property
+    def shape(self):
+        return (self.tr.ncols, self.tr.nrows)
+
+    @property
+    def nvals(self) -> int:
+        return self.tr.nvals
+
+    @property
+    def nzmax(self) -> int:
+        return self.tr.nzmax
+
+    @property
+    def type(self) -> Type:
+        return self.tr.type
+
+    #: CSC component views (reference export names): colptr / rowidx
+    @property
+    def colptr(self):
+        return self.tr.indptr
+
+    @property
+    def rowidx(self):
+        return self.tr.indices
+
+    @property
+    def values(self):
+        return self.tr.values
+
+    # -- constructors --------------------------------------------------------
+    @staticmethod
+    def from_coo(I, J, X, nrows: int, ncols: int,
+                 type: Optional[Type] = None, nzmax: Optional[int] = None,
+                 sum_duplicates: bool = True) -> "CscMatrix":
+        return CscMatrix(csr_from_coo(J, I, X, ncols, nrows, type=type,
+                                      nzmax=nzmax,
+                                      sum_duplicates=sum_duplicates))
+
+    @staticmethod
+    def from_csr(A: CsrMatrix) -> "CscMatrix":
+        """CSR -> CSC (one transpose resort)."""
+        return CscMatrix(A.T())
+
+    # -- conversions ---------------------------------------------------------
+    def to_csr(self) -> CsrMatrix:
+        return self.tr.T()
+
+    def T(self) -> CsrMatrix:
+        """Transpose — free: A' in CSR is exactly the stored arrays."""
+        return self.tr
+
+    def to_matrix(self) -> Matrix:
+        M = self.tr.to_matrix()
+        import jax as _jax
+        vals = _jax.tree_util.tree_map(lambda a: a.T, M.values) \
+            if self.type.is_udt else M.values.T
+        return Matrix(vals, M.pattern.T, self.type)
+
+    def extractTuples(self):
+        """(I, J, X) in column order (the reference's CSC storage
+        order)."""
+        J, I, X = self.tr.extractTuples()
+        return I, J, X
+
+    def col_degrees(self):
+        return self.tr.row_degrees()
+
+    def __repr__(self):  # pragma: no cover
+        return (f"CscMatrix<{self.type.name}> {self.nrows}x{self.ncols}, "
+                f"{self.nvals}/{self.nzmax} entries (by_col)")
