@@ -73,7 +73,21 @@ def main():
 
     dt_gather = measure(_csr_mxv_densex_jit, gather_args)
     dt_sorted = measure(_csr_mxv_sorted_jit, sorted_args)
-    dt = min(dt_gather, dt_sorted)
+
+    # single-dispatch Pallas BSR engine (dense-tile MXU matvecs) when
+    # the flop-model gate qualifies this graph
+    from graphblas_tpu.sparse.pallas_spmv import (bsr_spmv_ok,
+                                                  bsr_spmv_plan, _launch)
+    dt_bsr = float("inf")
+    if bsr_spmv_ok(sr, A) and jax.default_backend() != "cpu":
+        rb, cb, slot, valid, tiles, nrb, ncb, ntiles = bsr_spmv_plan(A)
+        T = tiles.shape[1]
+        x2d = jnp.zeros((ncb * T,), tiles.dtype).at[:n].set(x) \
+            .reshape(ncb, 1, T)
+        bsr_args = (rb, cb, slot, valid, tiles, nrb, False, x2d)
+        dt_bsr = measure(_launch, bsr_args)
+
+    dt = min(dt_gather, dt_sorted, dt_bsr)
     rate = A.nvals / dt
 
     # correctness spot check AFTER timing: a large device-to-host pull
@@ -96,6 +110,8 @@ def main():
         "vs_baseline": rate / 1e8,  # nominal 100 M nnz/s CPU-core rate
         "gather_nnz_per_s": A.nvals / dt_gather,
         "sorted_nnz_per_s": A.nvals / dt_sorted,
+        "pallas_bsr_nnz_per_s": (A.nvals / dt_bsr
+                                 if dt_bsr != float("inf") else None),
         "gflops": 2 * A.nvals / dt / 1e9,
     }))
 

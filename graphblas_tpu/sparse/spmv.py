@@ -380,6 +380,11 @@ def csr_mxv(sr: Semiring, A: CsrMatrix, x, x_pattern=None):
     # identity slot for padded column indices (sentinel = ncols)
     x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
     if x_pattern is None:
+        from .pallas_spmv import bsr_spmv, bsr_spmv_ok
+        if bsr_spmv_ok(sr, A):
+            # dense x, dense-enough tiles: single-dispatch Pallas BSR
+            # kernel — the whole SpMV is one pallas_call on the MXU
+            return bsr_spmv(sr, A, x)
         if _sorted_path_ok(sr, A):
             # dense x, large matrix: zero-gather sort-routed kernel
             avals_csc, rank, sp, sc = spmv_plan(A)

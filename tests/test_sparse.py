@@ -433,6 +433,9 @@ def test_csr_mxv_sorted_matches_gather(monkeypatch, srname, ty):
     """The zero-gather sort-routed dense-x kernel must agree exactly
     with the gather kernel for every eligible semiring/dtype."""
     import graphblas_tpu.sparse.spmv as spmv_mod
+    import graphblas_tpu.sparse.pallas_spmv as pspmv_mod
+    # compare the two XLA kernels: keep the Pallas BSR engine out of the way
+    monkeypatch.setattr(pspmv_mod, "bsr_spmv_ok", lambda *a, **k: False)
     t = getattr(gb, ty)
     rng = np.random.default_rng(11)
     n, m = 60, 45
@@ -487,3 +490,103 @@ def test_csr_mxv_sorted_excludes_fp64_and_sparse_x(monkeypatch):
     assert np.allclose(np.where(np.asarray(p), np.asarray(y), 0),
                        np.where(D.any(axis=1) | (np.diff(np.asarray(A.indptr)) > 0),
                                 D @ x, 0))
+
+
+# -- Pallas BSR SpMV (single-dispatch dense-x engine) -------------------------
+def _bsr_spmv_ref(I, J, X, x, m, n):
+    D = np.zeros((m, n), np.float32)
+    D[I, J] = X
+    return D @ x, (np.bincount(I, minlength=m) > 0)
+
+
+def test_bsr_spmv_matches_gather_kernel():
+    """The single-dispatch Pallas BSR SpMV must agree with the gather
+    kernel (and the dense oracle) on f32 PLUS_TIMES."""
+    from graphblas_tpu.sparse import pallas_spmv as ps
+    rng = np.random.default_rng(7)
+    for m, n, nz in [(300, 450, 4000), (129, 127, 900), (64, 64, 500)]:
+        I = rng.integers(0, m, nz)
+        J = rng.integers(0, n, nz)
+        X = rng.normal(size=nz).astype(np.float32)
+        A = sp.CsrMatrix.from_coo(I, J, X, m, n, type=gb.FP32)
+        I2, J2, X2 = A.extractTuples()
+        x = rng.normal(size=n).astype(np.float32)
+        sr = semiring.plus_times[gb.FP32]
+        y, p = ps.bsr_spmv(sr, A, jnp.asarray(x), interpret=True)
+        ref, refp = _bsr_spmv_ref(np.asarray(I2), np.asarray(J2),
+                                  np.asarray(X2), x, m, n)
+        assert np.array_equal(np.asarray(p), refp)
+        assert np.allclose(np.where(np.asarray(p), np.asarray(y), 0),
+                           np.where(refp, ref, 0), rtol=1e-5, atol=1e-5)
+        # plan and gate are cached on the container
+        assert any(k[0] == "_bsr_spmv_plan" for k in A._options
+                   if isinstance(k, tuple))
+
+
+def test_bsr_spmv_empty_row_blocks_zeroed():
+    """Row blocks with no tiles must still produce zeros (dummy
+    invalid triples zero the VMEM accumulator)."""
+    from graphblas_tpu.sparse import pallas_spmv as ps
+    rng = np.random.default_rng(8)
+    m, n = 600, 300
+    # entries only in rows [0, 100) and [400, 450): blocks 1-2 empty
+    I = np.concatenate([rng.integers(0, 100, 800),
+                        rng.integers(400, 450, 300)])
+    J = rng.integers(0, n, len(I))
+    X = rng.normal(size=len(I)).astype(np.float32)
+    A = sp.CsrMatrix.from_coo(I, J, X, m, n, type=gb.FP32)
+    I2, J2, X2 = A.extractTuples()
+    x = rng.normal(size=n).astype(np.float32)
+    sr = semiring.plus_times[gb.FP32]
+    y, p = ps.bsr_spmv(sr, A, jnp.asarray(x), interpret=True)
+    ref, refp = _bsr_spmv_ref(np.asarray(I2), np.asarray(J2),
+                              np.asarray(X2), x, m, n)
+    assert np.array_equal(np.asarray(p), refp)
+    assert np.allclose(np.where(np.asarray(p), np.asarray(y), 0),
+                       np.where(refp, ref, 0), rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(y)[128:384] == 0)
+
+
+def test_bsr_spmv_gate():
+    """The flop-model gate routes only dense-enough f32 PLUS_TIMES."""
+    from graphblas_tpu.sparse import pallas_spmv as ps
+    rng = np.random.default_rng(9)
+    sr32 = semiring.plus_times[gb.FP32]
+    # dense tiles: 2000 nnz in one 128x128 tile region -> qualifies
+    I = rng.integers(0, 100, 2000)
+    J = rng.integers(0, 100, 2000)
+    A = sp.CsrMatrix.from_coo(I, J, np.ones(2000, np.float32), 100, 100,
+                              type=gb.FP32)
+    assert ps.bsr_spmv_ok(sr32, A)
+    assert A._options[("_bsr_spmv_ok", 128)] is True
+    # scattered entries at ~1 nnz per 128x128 tile -> rejected
+    ri = rng.permutation(4096)[:1000]
+    rj = rng.permutation(4096)[:1000]
+    B = sp.CsrMatrix.from_coo(ri, rj, np.ones(1000, np.float32), 4096,
+                              4096, type=gb.FP32)
+    assert not ps.bsr_spmv_ok(sr32, B)
+    # wrong semiring / dtype -> rejected
+    assert not ps.bsr_spmv_ok(semiring.min_plus[gb.FP32], A)
+    A64 = sp.CsrMatrix.from_coo(I, J, np.ones(2000), 100, 100,
+                                type=gb.FP64)
+    assert not ps.bsr_spmv_ok(semiring.plus_times[gb.FP64], A64)
+
+
+def test_csr_mxv_routes_to_bsr_spmv():
+    """csr_mxv auto-dispatches qualifying dense-x calls to the Pallas
+    engine and records the method."""
+    from graphblas_tpu.ops.flopcount import last_axb_method
+    rng = np.random.default_rng(10)
+    m = n = 200
+    I = rng.integers(0, m, 5000)
+    J = rng.integers(0, n, 5000)
+    X = rng.normal(size=5000).astype(np.float32)
+    A = sp.CsrMatrix.from_coo(I, J, X, m, n, type=gb.FP32)
+    x = rng.normal(size=n).astype(np.float32)
+    y, p = sp.csr_mxv(semiring.plus_times[gb.FP32], A, jnp.asarray(x))
+    assert last_axb_method() == "pallas:bsr_spmv"
+    I2, J2, X2 = A.extractTuples()
+    ref, refp = _bsr_spmv_ref(np.asarray(I2), np.asarray(J2),
+                              np.asarray(X2), x, m, n)
+    assert np.allclose(np.where(np.asarray(p), np.asarray(y), 0),
+                       np.where(refp, ref, 0), rtol=1e-5, atol=1e-5)

@@ -118,3 +118,22 @@ def test_spmv_semirings_on_chip(rng):
     want2 = np.where(rows, np.min(np.where(D > 0, D + x[None, :],
                                            np.inf), axis=1), 0)
     assert np.allclose(np.asarray(y2)[rows], want2[rows], rtol=1e-5)
+
+
+def test_bsr_spmv_on_chip(rng):
+    """Single-dispatch Pallas BSR SpMV compiled for the real MXU."""
+    from graphblas_tpu.sparse.pallas_spmv import bsr_spmv, bsr_spmv_ok
+    n = 500
+    I, J = sym_graph(rng, n, 6000)
+    X = (rng.random(len(I)) + 0.5).astype(np.float32)
+    A = CsrMatrix.from_coo(I, J, X, n, n, type=gb.FP32,
+                           sum_duplicates=False)
+    x = (rng.random(n) + 0.5).astype(np.float32)
+    sr = semiring.plus_times[gb.FP32]
+    assert bsr_spmv_ok(sr, A)
+    y, ypat = bsr_spmv(sr, A, jnp.asarray(x), interpret=False)
+    D = np.zeros((n, n), np.float64)
+    D[I, J] = X
+    rows = (D != 0).any(axis=1)
+    assert np.array_equal(np.asarray(ypat), rows)
+    assert np.allclose(np.asarray(y)[rows], (D @ x)[rows], rtol=1e-4)
