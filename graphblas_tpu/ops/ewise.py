@@ -3,9 +3,13 @@ apply, and select.
 
 Reference: ``Source/GB_add.c`` (4-case per-vector union merge),
 ``GB_emult.c`` (intersection merge), ``GB_eWise.c`` (orchestrator),
-``GB_apply.c``, ``GB_select.c``.  On the bitmap backend the merges are
-single vectorized selects; the whole op (including the accum/mask
-epilogue) fuses into one XLA kernel.
+``GB_apply.c``, ``GB_select.c``.  The reference runs every storage
+format through the same orchestration (``GB_eWise.c``); here the OUTPUT
+container picks the engine — bitmap (vectorized selects, one fused XLA
+kernel), padded CSR / by-col CSC (sort-merge engines in
+:mod:`graphblas_tpu.sparse.ewise` + the ``csr_accum_mask`` epilogue),
+or hypersparse (pair-key merges + ``hyper_accum_mask``) — and operands
+convert toward it.
 """
 
 from __future__ import annotations
@@ -23,6 +27,8 @@ from ..core.matrix import Matrix, Vector
 from ..core.ops import BinaryOp, SelectOp, UnaryOp
 from ..core.types import Type, cast
 from ..utils import counters
+from .containers import (UnsupportedContainer, to_bitmap_operand,
+                         to_csr_operand, to_hyper_operand)
 
 __all__ = ["eWiseAdd", "eWiseMult", "apply", "select"]
 
@@ -67,6 +73,68 @@ def _ewise_T(op: BinaryOp, A, B, union: bool):
     return out.canonical()
 
 
+# ---------------------------------------------------------------------------
+# container dispatch (the GB_eWise orchestration for sparse outputs)
+# ---------------------------------------------------------------------------
+
+def _hyper_guard_udt(op, *types):
+    if getattr(op, "ztype", None) is not None and op.ztype.is_udt \
+            or any(t.is_udt for t in types):
+        raise UnsupportedContainer(
+            "UDT eWise on the hypersparse container is not supported; "
+            "use the CSR or bitmap container")
+
+
+def _ewise_hyper(C, M, accum, op, A, B, d, union):
+    from ..sparse.hyper import hyper_accum_mask, hyper_ewise
+    Aw = to_hyper_operand(A, d.tran0, "eWise input A")
+    Bw = to_hyper_operand(B, d.tran1, "eWise input B")
+    _hyper_guard_udt(op, Aw.type, Bw.type, C.type)
+    Mw = to_hyper_operand(M, False, "mask") if M is not None else None
+    if Aw.shape != C.shape:
+        raise DimensionMismatch(
+            f"eWise shapes {Aw.shape} vs C {C.shape}")
+    T = hyper_ewise(op, Aw, Bw, union=union)
+    return hyper_accum_mask(C, Mw, T, accum, replace=d.replace,
+                            complement=d.mask_scmp,
+                            structural=d.mask_structure)
+
+
+def _ewise_csr(C, M, accum, op, A, B, d, union):
+    from ..sparse.container import CscMatrix
+    from ..sparse.ewise import csr_ewise_add, csr_ewise_mult
+    from ..sparse.mask import csr_accum_mask
+    csc = isinstance(C, CscMatrix)
+    # by-col output: run in the transposed frame ((A ⊕ B)' = A' ⊕ B')
+    # and re-wrap — the reference's is_csc flag flip, GB_eWise.c
+    Cw = C.tr if csc else C
+    Aw = to_csr_operand(A, csc ^ d.tran0, "eWise input A")
+    Bw = to_csr_operand(B, csc ^ d.tran1, "eWise input B")
+    Mw = to_csr_operand(M, csc, "mask") if M is not None else None
+    if Aw.shape != Cw.shape:
+        raise DimensionMismatch(
+            f"eWise shapes {Aw.shape} vs C {C.shape}")
+    T = (csr_ewise_add if union else csr_ewise_mult)(op, Aw, Bw)
+    out = csr_accum_mask(Cw, Mw, T, accum, d)
+    return CscMatrix(out) if csc else out
+
+
+def _dispatch_ewise(C, M, accum, op, A, B, d, union):
+    from ..sparse.container import CsrMatrix, CscMatrix
+    from ..sparse.hyper import HyperMatrix
+    if isinstance(C, HyperMatrix):
+        return _ewise_hyper(C, M, accum, op, A, B, d, union)
+    if isinstance(C, (CsrMatrix, CscMatrix)):
+        return _ewise_csr(C, M, accum, op, A, B, d, union)
+    A = to_bitmap_operand(A, "eWise input A")
+    B = to_bitmap_operand(B, "eWise input B")
+    M = to_bitmap_operand(M, "mask") if M is not None else None
+    A = _transposed(A.wait(), d.tran0 and isinstance(A, Matrix))
+    B = _transposed(B.wait(), d.tran1 and isinstance(B, Matrix))
+    T = _ewise_T(op, A, B, union=union)
+    return accum_mask(C, M, T, accum, d)
+
+
 @counters.counted("eWiseAdd")
 def eWiseAdd(C, M, accum: Optional[BinaryOp], op: BinaryOp,
              A, B, desc: Optional[Descriptor] = None):
@@ -74,10 +142,7 @@ def eWiseAdd(C, M, accum: Optional[BinaryOp], op: BinaryOp,
     d = desc_of(desc)
     op = getattr(op, "mult", op)  # semiring/monoid accepted per spec
     op = getattr(op, "op", op)
-    A = _transposed(A.wait(), d.tran0 and isinstance(A, Matrix))
-    B = _transposed(B.wait(), d.tran1 and isinstance(B, Matrix))
-    T = _ewise_T(op, A, B, union=True)
-    return accum_mask(C, M, T, accum, d)
+    return _dispatch_ewise(C, M, accum, op, A, B, d, union=True)
 
 
 @counters.counted("eWiseMult")
@@ -87,10 +152,7 @@ def eWiseMult(C, M, accum: Optional[BinaryOp], op: BinaryOp,
     d = desc_of(desc)
     op = getattr(op, "mult", op)
     op = getattr(op, "op", op)
-    A = _transposed(A.wait(), d.tran0 and isinstance(A, Matrix))
-    B = _transposed(B.wait(), d.tran1 and isinstance(B, Matrix))
-    T = _ewise_T(op, A, B, union=False)
-    return accum_mask(C, M, T, accum, d)
+    return _dispatch_ewise(C, M, accum, op, A, B, d, union=False)
 
 
 @counters.counted("apply")
@@ -102,6 +164,31 @@ def apply(C, M, accum: Optional[BinaryOp], op: UnaryOp, A,
     the pattern array is reused by reference, only values are mapped.
     """
     d = desc_of(desc)
+    from ..sparse.container import CsrMatrix, CscMatrix
+    from ..sparse.hyper import HyperMatrix
+    if isinstance(C, HyperMatrix):
+        from ..sparse.hyper import hyper_accum_mask, hyper_apply
+        Aw = to_hyper_operand(A, d.tran0, "apply input")
+        Mw = to_hyper_operand(M, False, "mask") if M is not None else None
+        if Aw.shape != C.shape:
+            raise DimensionMismatch(f"apply {Aw.shape} vs C {C.shape}")
+        T = hyper_apply(op, Aw, ztype=op.ztype)
+        return hyper_accum_mask(C, Mw, T, accum, replace=d.replace,
+                                complement=d.mask_scmp,
+                                structural=d.mask_structure)
+    if isinstance(C, (CsrMatrix, CscMatrix)):
+        from ..sparse.ewise import csr_apply
+        from ..sparse.mask import csr_accum_mask
+        csc = isinstance(C, CscMatrix)
+        Cw = C.tr if csc else C
+        Aw = to_csr_operand(A, csc ^ d.tran0, "apply input")
+        Mw = to_csr_operand(M, csc, "mask") if M is not None else None
+        if Aw.shape != Cw.shape:
+            raise DimensionMismatch(f"apply {Aw.shape} vs C {C.shape}")
+        out = csr_accum_mask(Cw, Mw, csr_apply(op, Aw), accum, d)
+        return CscMatrix(out) if csc else out
+    A = to_bitmap_operand(A, "apply input")
+    M = to_bitmap_operand(M, "mask") if M is not None else None
     A = _transposed(A.wait(), d.tran0 and isinstance(A, Matrix))
     a = _cast_vals(A.values, A.type, op.xtype)
     vals = op(a)
@@ -123,6 +210,36 @@ def select(C, M, accum: Optional[BinaryOp], op: SelectOp, A,
            thunk: Any = 0, desc: Optional[Descriptor] = None):
     """C<M> = accum(C, select(A, thunk)) (reference ``GxB_select``)."""
     d = desc_of(desc)
+    from ..sparse.container import CsrMatrix, CscMatrix
+    from ..sparse.hyper import HyperMatrix
+    if isinstance(C, HyperMatrix):
+        from ..sparse.hyper import hyper_accum_mask, hyper_select
+        Aw = to_hyper_operand(A, d.tran0, "select input")
+        Mw = to_hyper_operand(M, False, "mask") if M is not None else None
+        if Aw.shape != C.shape:
+            raise DimensionMismatch(f"select {Aw.shape} vs C {C.shape}")
+        T = hyper_select("USER", Aw,
+                         user_fn=lambda i, j, x: op(i, j, x, thunk))
+        return hyper_accum_mask(C, Mw, T, accum, replace=d.replace,
+                                complement=d.mask_scmp,
+                                structural=d.mask_structure)
+    if isinstance(C, (CsrMatrix, CscMatrix)):
+        from ..sparse.ewise import csr_select
+        from ..sparse.mask import csr_accum_mask
+        csc = isinstance(C, CscMatrix)
+        Cw = C.tr if csc else C
+        Aw = to_csr_operand(A, csc ^ d.tran0, "select input")
+        Mw = to_csr_operand(M, csc, "mask") if M is not None else None
+        if Aw.shape != Cw.shape:
+            raise DimensionMismatch(f"select {Aw.shape} vs C {C.shape}")
+        # in the by-col (transposed) frame the predicate sees swapped
+        # coordinates: select_C'(i,j) = select_C(j,i)
+        opw = SelectOp(op.name, lambda i, j, x, k: op(j, i, x, k)) \
+            if csc else op
+        out = csr_accum_mask(Cw, Mw, csr_select(opw, Aw, thunk), accum, d)
+        return CscMatrix(out) if csc else out
+    A = to_bitmap_operand(A, "select input")
+    M = to_bitmap_operand(M, "mask") if M is not None else None
     A = _transposed(A.wait(), d.tran0 and isinstance(A, Matrix))
     i, j = _index_grids(A.pattern.shape)
     keep = op(i, j, A.values, thunk)

@@ -305,17 +305,14 @@ def semiring_mm(sr: Semiring, Av, Ap, Bv, Bp, method_hint=None):
 # ---------------------------------------------------------------------------
 
 def _as_bitmap(X):
-    """Accept CsrMatrix/CscMatrix anywhere a bitmap Matrix is expected."""
-    from ..sparse.container import CsrMatrix, CscMatrix
-    return X.to_matrix() if isinstance(X, (CsrMatrix, CscMatrix)) else X
+    """Accept any sparse container anywhere a bitmap Matrix is expected."""
+    from .containers import to_bitmap_operand
+    return to_bitmap_operand(X)
 
 
 def _as_csr(X):
-    from ..sparse.container import CsrMatrix, CscMatrix
-    if isinstance(X, CscMatrix):
-        return X.to_csr()
-    return X if isinstance(X, CsrMatrix) else CsrMatrix.from_matrix(
-        X.wait())
+    from .containers import to_csr_operand
+    return to_csr_operand(X)
 
 
 def _mxm_sparse(C, M, accum, sr: Semiring, A, B, d: Descriptor):
@@ -377,19 +374,14 @@ def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     from ..sparse.container import CsrMatrix
     from ..sparse.hyper import (HyperMatrix, hyper_accum_mask,
                                 hyper_spgemm, hyper_transpose)
-    if isinstance(A, HyperMatrix) or isinstance(B, HyperMatrix) \
-            or isinstance(C, HyperMatrix):
+    if isinstance(C, HyperMatrix):
         # huge-dimension path: hypersparse ESC (O(nnz+nvec), dimension
-        # up to 2^60 — the GB_to_hyper capability, GB.h:314-323)
-        if not isinstance(A, HyperMatrix) or not isinstance(B, HyperMatrix) \
-                or not isinstance(C, HyperMatrix):
-            raise TypeError("hyper mxm needs C and both operands "
-                            "hypersparse (convert with hyper_from_coo / "
-                            "import_hyper_csr)")
-        if d.tran0:
-            A = hyper_transpose(A)
-        if d.tran1:
-            B = hyper_transpose(B)
+        # up to 2^60 — the GB_to_hyper capability, GB.h:314-323);
+        # non-hyper operands convert toward the output container
+        from .containers import to_hyper_operand
+        A = to_hyper_operand(A, d.tran0, "mxm input A")
+        B = to_hyper_operand(B, d.tran1, "mxm input B")
+        M = to_hyper_operand(M, False, "mask") if M is not None else None
         # mask pushdown into the product, then the full GB_accum_mask
         # epilogue against C (skipped when C starts empty and there is
         # no accum — the GB_transplant_conform shortcut, GB_mxm.c:141)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.descriptor import Descriptor, desc_of
+from ..core.errors import DimensionMismatch
 from ..core.mask import accum_mask
 from ..core.matrix import Matrix, Vector
 from ..core.monoids import Monoid
@@ -39,9 +40,40 @@ def reduce_to_vector(w: Vector, m: Optional[Vector],
                      accum: Optional[BinaryOp],
                      op: Union[Monoid, BinaryOp], A: Matrix,
                      desc: Optional[Descriptor] = None) -> Vector:
-    """w<m> = accum(w, reduce-rows(A)); TRAN0 reduces columns instead."""
+    """w<m> = accum(w, reduce-rows(A)); TRAN0 reduces columns instead.
+
+    Sparse containers reduce without densifying: CSR through one device
+    segment-reduce (``csr_reduce_rows``), hypersparse through the
+    present-row fold (``hyper_reduce_vector``) scattered into the dense
+    ``w`` (which bounds nrows at the Vector's own capacity)."""
     d = desc_of(desc)
     mon = _as_monoid(op)
+    from ..sparse.container import CsrMatrix, CscMatrix
+    from ..sparse.hyper import HyperMatrix
+    from .containers import UnsupportedContainer, to_csr_operand
+    if isinstance(A, HyperMatrix):
+        from ..sparse.hyper import hyper_reduce_vector, hyper_transpose
+        if d.tran0:
+            A = hyper_transpose(A)
+        if A.nrows != w.shape[0]:
+            raise DimensionMismatch(
+                f"w has size {w.shape[0]}, A has {A.nrows} rows")
+        ids, vals = hyper_reduce_vector(mon, A)
+        red = jnp.zeros((w.shape[0],), np.dtype(mon.type.dtype)).at[
+            jnp.asarray(ids)].set(jnp.asarray(vals))
+        tpat = jnp.zeros((w.shape[0],), bool).at[jnp.asarray(ids)].set(
+            True)
+        T = Vector(red, tpat, mon.type)
+        return accum_mask(w, m, T, accum, d)
+    if isinstance(A, (CsrMatrix, CscMatrix)):
+        from ..sparse.ewise import csr_reduce_rows
+        A = to_csr_operand(A, d.tran0, "reduce input")
+        if A.nrows != w.shape[0]:
+            raise DimensionMismatch(
+                f"w has size {w.shape[0]}, A has {A.nrows} rows")
+        red, tpat = csr_reduce_rows(mon, A)
+        T = Vector(red, tpat, mon.type)
+        return accum_mask(w, m, T, accum, d)
     A = A.wait()
     vals, pat = A.values, A.pattern
     if d.tran0:
@@ -63,6 +95,21 @@ def reduce_to_scalar(accum: Optional[BinaryOp], op: Union[Monoid, BinaryOp],
     Empty A reduces to the monoid identity (``GB_reduce_to_scalar.c:35``).
     """
     mon = _as_monoid(op)
+    from ..sparse.container import CsrMatrix, CscMatrix
+    from ..sparse.hyper import HyperMatrix
+    if isinstance(A, (CsrMatrix, CscMatrix)):
+        from ..sparse.ewise import csr_reduce_scalar
+        t = csr_reduce_scalar(mon, A.tr if isinstance(A, CscMatrix)
+                              else A)
+        if accum is not None and c is not None:
+            t = jax.device_get(accum(jnp.asarray(c), jnp.asarray(t)))[()]
+        return t
+    if isinstance(A, HyperMatrix):
+        from ..sparse.hyper import hyper_reduce_scalar
+        t = hyper_reduce_scalar(mon, A) if A.nvals else mon.identity
+        if accum is not None and c is not None:
+            t = jax.device_get(accum(jnp.asarray(c), jnp.asarray(t)))[()]
+        return t
     A = A.wait()
     vals = A.values if mon.type.is_udt else cast(A.values, mon.type)
     t = mon.reduce(vals, axis=None, where=A.pattern)

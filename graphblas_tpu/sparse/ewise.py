@@ -10,6 +10,13 @@ searchsorted merge of the two sorted linearized key lists (the two-way
 analogue of the reference's per-vector 4-case walk), the intersection a
 single binary-search probe of B for every A lane.  No device->host pull
 happens anywhere (VERDICT round-1 weak #3 / round-2 #9).
+
+Typecast semantics follow the reference (``GB_add.c:9-55``): entries in
+the intersection are cast into the op's x/y domains and the result into
+ztype; entries present on one side only are cast from their stored type
+straight to ztype with no op applied.  UDT values travel as
+struct-of-arrays pytrees through every scatter/merge (the reference's
+``void*`` values, ``GB_matrix.h:195-208``).
 """
 
 from __future__ import annotations
@@ -23,7 +30,7 @@ import numpy as np
 
 from ..core.monoids import Monoid
 from ..core.ops import BinaryOp, SelectOp, UnaryOp
-from ..core.types import Type
+from ..core.types import Type, cast
 from .container import CsrMatrix, csr_from_coo
 from .spmv import segment_reduce
 
@@ -31,6 +38,15 @@ __all__ = ["csr_ewise_add", "csr_ewise_mult", "csr_apply", "csr_select",
            "csr_reduce_rows", "csr_reduce_scalar"]
 
 _BIG = np.iinfo(np.int64).max
+_tmap = jax.tree_util.tree_map
+
+
+def _cast_vals(vals, src: Type, dst: Type):
+    if src.is_udt or dst.is_udt:
+        if src.name != dst.name:
+            raise TypeError(f"cannot typecast UDT {src.name} -> {dst.name}")
+        return vals
+    return cast(vals, dst)
 
 
 @jax.jit
@@ -41,11 +57,13 @@ def _keys_jit(rowids, indices, nvals, ncols):
     return jnp.where(lane < nvals, k, _BIG)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _union_jit(op: BinaryOp, nrows: int, ncols: int,
-               ka, kb, xa, xb, nA, nB):
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _union_jit(op: BinaryOp, zt: Type, nrows: int, ncols: int,
+               ka, kb, xa, xb, za, zb, nA, nB):
     """Device union merge C = A ∪ B with op on the intersection.
 
+    ``xa``/``xb`` are the operands cast into the op's x/y domains (used
+    on paired keys); ``za``/``zb`` the ztype casts (used on singletons).
     Ranks every A lane at ``searchsorted(kb, ka, 'left')`` and every B
     lane at ``searchsorted(ka, kb, 'right')`` so shared keys land
     adjacent (A copy first), then folds adjacent duplicates with ``op``
@@ -59,26 +77,36 @@ def _union_jit(op: BinaryOp, nrows: int, ncols: int,
     out_b = pb + jnp.searchsorted(ka, kb, side="right")
     mk = jnp.full((EC,), _BIG, jnp.int64).at[out_a].set(
         ka, mode="drop").at[out_b].set(kb, mode="drop")
-    va = jnp.zeros((EC,), xa.dtype).at[out_a].set(xa, mode="drop")
-    vb = jnp.zeros((EC,), xb.dtype).at[out_b].set(xb, mode="drop")
+
+    def scat_a(v):
+        return jnp.zeros((EC,), v.dtype).at[out_a].set(v, mode="drop")
+
+    def scat_b(v):
+        return jnp.zeros((EC,), v.dtype).at[out_b].set(v, mode="drop")
+
+    va_x = _tmap(scat_a, xa)
+    vb_y = _tmap(scat_b, xb)
+    va_z = _tmap(scat_a, za)
+    vb_z = _tmap(scat_b, zb)
     isa = jnp.zeros((EC,), bool).at[out_a].set(pa < nA, mode="drop")
     live = mk < _BIG
     lane = jnp.arange(EC)
     dup = live & (mk == jnp.roll(mk, 1)) & (lane > 0)
     first = live & ~dup
     pair = first & jnp.concatenate([dup[1:], jnp.zeros((1,), bool)])
-    zt = op.ztype
-    zboth = op(va, jnp.roll(vb, -1))
-    single = jnp.where(isa, va.astype(zt.dtype), vb.astype(zt.dtype))
-    z = jnp.where(pair, zboth.astype(zt.dtype), single)
+    zboth = op(va_x, _tmap(lambda v: jnp.roll(v, -1), vb_y))
+    if not zt.is_udt:
+        zboth = zboth.astype(zt.dtype)
+    single = _tmap(lambda a, b: jnp.where(isa, a, b), va_z, vb_z)
+    z = _tmap(lambda zz, s: jnp.where(pair, zz, s), zboth, single)
     # compact the first-occurrence lanes in key order
     newpos = jnp.cumsum(first) - 1
     nvalsC = jnp.sum(first.astype(jnp.int32))
     tgt = jnp.where(first, newpos, EC + 1)
     okeys = jnp.full((EC + 2,), _BIG, jnp.int64).at[tgt].set(
         mk, mode="drop")[:EC]
-    ovals = jnp.zeros((EC + 2,), zt.dtype).at[tgt].set(
-        z, mode="drop")[:EC]
+    ovals = _tmap(lambda v: jnp.zeros((EC + 2,), v.dtype).at[tgt].set(
+        v, mode="drop")[:EC], z)
     olive = okeys < _BIG
     oI = jnp.where(olive, okeys // ncols, nrows).astype(jnp.int32)
     oJ = jnp.where(olive, okeys % ncols, ncols).astype(jnp.int32)
@@ -95,31 +123,39 @@ def csr_ewise_add(op: BinaryOp, A: CsrMatrix, B: CsrMatrix) -> CsrMatrix:
     """C = A ∪ B with op on the intersection (``GrB_eWiseAdd``)."""
     if A.shape != B.shape:
         raise ValueError(f"shape mismatch {A.shape} vs {B.shape}")
+    zt = op.ztype
     ka = _keys_jit(A.rowids, A.indices, A.nvals, A.ncols)
     kb = _keys_jit(B.rowids, B.indices, B.nvals, B.ncols)
+    xa = _cast_vals(A.values, A.type, op.xtype)
+    xb = _cast_vals(B.values, B.type, op.ytype)
+    za = _cast_vals(A.values, A.type, zt)
+    zb = _cast_vals(B.values, B.type, zt)
     indptr, oJ, oI, ovals, nvalsC = _union_jit(
-        op, A.nrows, A.ncols, ka, kb,
-        jnp.asarray(A.values), jnp.asarray(B.values), A.nvals, B.nvals)
+        op, zt, A.nrows, A.ncols, ka, kb, xa, xb, za, zb,
+        A.nvals, B.nvals)
     nv = int(nvalsC)
     # trim capacity so chained unions don't balloon nzmax
     from .esc import _bucket
     cap = _bucket(max(nv, 8), 128)
     if cap < oJ.shape[0]:
-        oJ, oI, ovals = oJ[:cap], oI[:cap], ovals[:cap]
+        oJ, oI = oJ[:cap], oI[:cap]
+        ovals = _tmap(lambda v: v[:cap], ovals)
     return CsrMatrix(indptr, oJ, oI, ovals, nv,
-                     A.nrows, A.ncols, op.ztype)
+                     A.nrows, A.ncols, zt)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _isect_jit(op: BinaryOp, ka, kb, xa, xb):
+@partial(jax.jit, static_argnums=(0, 1))
+def _isect_jit(op: BinaryOp, zt: Type, ka, kb, xa, xb):
     """match/value per A lane: one binary-search probe of B."""
     EB = kb.shape[0]
     pos = jnp.searchsorted(kb, ka)
     posc = jnp.clip(pos, 0, EB - 1)
     match = (kb[posc] == ka) & (ka < _BIG)
-    zt = op.ztype
-    z = op(xa, xb[posc]).astype(zt.dtype)
-    return match, jnp.where(match, z, jnp.zeros((), zt.dtype))
+    z = op(xa, _tmap(lambda v: v[posc], xb))
+    if not zt.is_udt:
+        z = z.astype(zt.dtype)
+    z = _tmap(lambda v: jnp.where(match, v, jnp.zeros((), v.dtype)), z)
+    return match, z
 
 
 def csr_ewise_mult(op: BinaryOp, A: CsrMatrix, B: CsrMatrix) -> CsrMatrix:
@@ -127,12 +163,14 @@ def csr_ewise_mult(op: BinaryOp, A: CsrMatrix, B: CsrMatrix) -> CsrMatrix:
     if A.shape != B.shape:
         raise ValueError(f"shape mismatch {A.shape} vs {B.shape}")
     from .tri import csr_filter_lanes
+    zt = op.ztype
     ka = _keys_jit(A.rowids, A.indices, A.nvals, A.ncols)
     kb = _keys_jit(B.rowids, B.indices, B.nvals, B.ncols)
-    match, z = _isect_jit(op, ka, kb,
-                          jnp.asarray(A.values), jnp.asarray(B.values))
+    xa = _cast_vals(A.values, A.type, op.xtype)
+    xb = _cast_vals(B.values, B.type, op.ytype)
+    match, z = _isect_jit(op, zt, ka, kb, xa, xb)
     tmp = CsrMatrix(A.indptr, A.indices, A.rowids, z, A.nvals,
-                    A.nrows, A.ncols, op.ztype)
+                    A.nrows, A.ncols, zt)
     return csr_filter_lanes(tmp, match)
 
 
@@ -140,12 +178,15 @@ def csr_apply(op: UnaryOp, A: CsrMatrix) -> CsrMatrix:
     """C = op(A): pattern shared, one vectorized device pass over the
     padded value array (the ``GB_shallow_op`` trick — structure arrays
     are reused by reference)."""
-    vals = op(jnp.asarray(A.values))
+    zt = op.ztype
+    vals = op(_cast_vals(A.values, A.type, op.xtype))
+    if not zt.is_udt:
+        vals = cast(vals, zt)
     # keep padded slots at zero
     k = jnp.arange(A.nzmax) < A.nvals
-    vals = jnp.where(k, vals, jnp.zeros((), vals.dtype))
+    vals = _tmap(lambda v: jnp.where(k, v, jnp.zeros((), v.dtype)), vals)
     return CsrMatrix(A.indptr, A.indices, A.rowids, vals, A.nvals,
-                     A.nrows, A.ncols, op.ztype)
+                     A.nrows, A.ncols, zt)
 
 
 def csr_select(op: SelectOp, A: CsrMatrix, thunk=0) -> CsrMatrix:
@@ -154,18 +195,21 @@ def csr_select(op: SelectOp, A: CsrMatrix, thunk=0) -> CsrMatrix:
     no host round-trip."""
     from .tri import csr_filter_lanes
     keep = op(jnp.asarray(A.rowids), jnp.asarray(A.indices),
-              jnp.asarray(A.values), thunk)
+              _tmap(jnp.asarray, A.values), thunk)
     return csr_filter_lanes(A, jnp.asarray(keep, bool))
 
 
 def csr_reduce_rows(mon: Monoid, A: CsrMatrix):
     """(vals, pattern) of the per-row monoid reduction
     (``GB_reduce_to_column``); one segment-reduce on device."""
-    vals = jnp.asarray(A.values)
+    vals = _cast_vals(A.values, A.type, mon.type)
     rows = jnp.minimum(A.rowids, A.nrows)
+    if mon.type.is_udt:
+        raise TypeError("UDT row-reduce on CSR is not supported; "
+                        "reduce via the bitmap container")
     red = segment_reduce(mon.op.name, jnp.where(
-        jnp.arange(A.nzmax) < A.nvals, vals,
-        jnp.asarray(mon.identity, vals.dtype)),
+        jnp.arange(A.nzmax) < A.nvals, jnp.asarray(vals),
+        jnp.asarray(mon.identity, np.dtype(mon.type.dtype))),
         rows, A.nrows + 1, mon.identity)[:A.nrows]
     deg = A.row_degrees()
     return red, deg > 0
@@ -178,5 +222,8 @@ def csr_reduce_scalar(mon: Monoid, A: CsrMatrix):
     if A.nvals == 0:
         return mon.identity
     live = jnp.arange(A.nzmax) < A.nvals
-    r = mon.reduce(jnp.asarray(A.values), axis=None, where=live)
+    vals = _cast_vals(A.values, A.type, mon.type)
+    r = mon.reduce(_tmap(jnp.asarray, vals), axis=None, where=live)
+    if mon.type.is_udt:
+        return _tmap(lambda v: np.asarray(jax.device_get(v))[()], r)
     return np.asarray(jax.device_get(r))[()]

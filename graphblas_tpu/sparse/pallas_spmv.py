@@ -137,10 +137,15 @@ def bsr_spmv_plan(A, T: int = TILE, dtype=np.float32):
     uniq, starts = np.unique(tid_s, return_index=True)
     ntiles = len(uniq)
     tiles = np.zeros((ntiles, T, T), dtype)
-    slot_of = np.zeros(nrb * ncb, np.int64)
-    slot_of[uniq] = np.arange(ntiles)
-    tiles[slot_of[tid_s], (rows % T)[order], (cols % T)[order]] = \
-        vals[order].astype(dtype)
+    # slot lookup via searchsorted on the sorted uniq list: O(nnz log
+    # ntiles) and dimension-independent (a dense nrb*ncb table would be
+    # ~34 GB for a 2^23-dim square matrix that passes the ntiles cap);
+    # accumulate with add.at so duplicate (i,j) entries sum, matching
+    # the additive per-lane semantics of the gather/sorted kernels
+    # (both ADVICE r2 medium findings)
+    slot_s = np.searchsorted(uniq, tid_s)
+    np.add.at(tiles, (slot_s, (rows % T)[order], (cols % T)[order]),
+              vals[order].astype(dtype))
     rb = (uniq // ncb).astype(np.int32)
     cb = (uniq % ncb).astype(np.int32)
     slot = np.arange(ntiles, dtype=np.int32)
@@ -167,6 +172,19 @@ def bsr_spmv_ok(sr, A, T: int = TILE) -> bool:
     if (sr.add.op.name, sr.mult.name) != ("PLUS", "TIMES"):
         return False
     if A.type.is_udt or np.dtype(sr.ztype.dtype) != np.float32:
+        return False
+    # per-matrix tri-state override (GxB_Matrix_Option_set scope):
+    # False = opt out — dense tiles contribute 0*inf = NaN for rows
+    # sharing a column block with a non-finite x entry, where the
+    # gather kernel contributes nothing (ADVICE r2 low finding);
+    # True = force past the backend gate (tests); None = auto.
+    opt = A._options.get("bsr_spmv")
+    if opt is False:
+        return False
+    if opt is not True and jax.default_backend() == "cpu":
+        # interpret-mode Pallas is far slower than the XLA gather kernel;
+        # the kernel stays reachable directly (tests pass interpret=True
+        # or force with A._options['bsr_spmv'] = True)
         return False
     if isinstance(A.indices, jax.core.Tracer):
         return False

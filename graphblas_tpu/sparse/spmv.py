@@ -353,7 +353,13 @@ def _sorted_path_ok(sr: Semiring, A: CsrMatrix) -> bool:
 def csr_mxv(sr: Semiring, A: CsrMatrix, x, x_pattern=None):
     """(yvals, ypat) = A *.sr* x.  x: dense [ncols] value array;
     ``x_pattern`` marks present entries (None = all present).
-    UDT semirings (struct x/z) route through the generic pytree kernel."""
+    UDT semirings (struct x/z) route through the generic pytree kernel.
+
+    Non-finite caveat: dense-x f32 PLUS_TIMES auto-routes to the BSR
+    tile kernel, whose dense tiles contribute 0*inf = NaN for any row
+    sharing a column block with an inf/NaN x entry (the gather kernel
+    ignores absent entries).  Set ``A._options['bsr_spmv'] = False`` to
+    opt out and keep exact absent-entry semantics."""
     from ..core.types import cast as gbcast
     if sr.ztype.is_udt or sr.xtype.is_udt or sr.ytype.is_udt \
             or A.type.is_udt:
