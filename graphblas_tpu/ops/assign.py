@@ -81,9 +81,26 @@ def assign(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     accum(C(I,J), A); then C<M> = Z with C_replace over all of C.
 
     A CsrMatrix ``C`` routes to the O(nnz) sparse form
-    (:func:`graphblas_tpu.sparse.assign.csr_assign`).
+    (:func:`graphblas_tpu.sparse.assign.csr_assign`); a HyperMatrix to
+    the pair-key form (dimension up to 2^60); a CscMatrix runs the CSR
+    form in the transposed frame (I/J swapped).
     """
-    from ..sparse.container import CsrMatrix
+    from ..sparse.container import CsrMatrix, CscMatrix
+    from ..sparse.hyper import HyperMatrix
+    if isinstance(C, HyperMatrix):
+        from ..sparse.hyper_assign import hyper_assign
+        return hyper_assign(C, M, accum, A, I, J, desc, scalar=scalar)
+    if isinstance(C, CscMatrix):
+        from ..sparse.assign import csr_assign
+        from .containers import to_csr_operand
+        d0 = desc_of(desc)
+        Aw = A if scalar else to_csr_operand(A, not d0.tran0,
+                                             "assign input")
+        Mw = to_csr_operand(M, True, "mask") if M is not None else None
+        import dataclasses as _dc
+        return CscMatrix(csr_assign(
+            C.tr, Mw, accum, Aw, J, I,
+            _dc.replace(d0, tran0=False), scalar=scalar))
     if isinstance(C, CsrMatrix):
         from ..sparse.assign import csr_assign
         return csr_assign(C, M, accum, A, I, J, desc, scalar=scalar)
@@ -117,8 +134,24 @@ def subassign(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     """C(I,J)<M> = accum(C(I,J), A) — GxB_subassign; M is |I| x |J|;
     entries outside C(I,J) are never modified (``GB_spec_subassign.m``).
 
-    A CsrMatrix ``C`` routes to the O(nnz) sparse form."""
-    from ..sparse.container import CsrMatrix
+    A sparse-container ``C`` routes to the O(nnz) sparse forms."""
+    from ..sparse.container import CsrMatrix, CscMatrix
+    from ..sparse.hyper import HyperMatrix
+    if isinstance(C, HyperMatrix):
+        from ..sparse.hyper_assign import hyper_subassign
+        return hyper_subassign(C, M, accum, A, I, J, desc,
+                               scalar=scalar)
+    if isinstance(C, CscMatrix):
+        from ..sparse.assign import csr_subassign
+        from .containers import to_csr_operand
+        d0 = desc_of(desc)
+        Aw = A if scalar else to_csr_operand(A, not d0.tran0,
+                                             "subassign input")
+        Mw = to_csr_operand(M, True, "mask") if M is not None else None
+        import dataclasses as _dc
+        return CscMatrix(csr_subassign(
+            C.tr, Mw, accum, Aw, J, I,
+            _dc.replace(d0, tran0=False), scalar=scalar))
     if isinstance(C, CsrMatrix):
         from ..sparse.assign import csr_subassign
         return csr_subassign(C, M, accum, A, I, J, desc, scalar=scalar)

@@ -44,6 +44,8 @@ def to_csr_operand(X, tran: bool = False, what: str = "operand"):
     CscMatrix transposes for free; a HyperMatrix converts only when its
     dimensions admit an O(nrows) indptr."""
     CsrMatrix, CscMatrix, HyperMatrix = _containers()
+    if hasattr(X, "wait"):
+        X = X.wait()  # fold pending deltas first (GB_WAIT discipline)
     if isinstance(X, CsrMatrix):
         return X.T() if tran else X
     if isinstance(X, CscMatrix):
@@ -67,6 +69,8 @@ def to_hyper_operand(X, tran: bool = False, what: str = "operand"):
     """Any matrix container -> HyperMatrix, optionally transposed."""
     CsrMatrix, CscMatrix, HyperMatrix = _containers()
     from ..sparse.hyper import hyper_transpose
+    if hasattr(X, "wait"):
+        X = X.wait()
     if isinstance(X, HyperMatrix):
         return hyper_transpose(X) if tran else X
     if isinstance(X, CscMatrix):
@@ -84,6 +88,8 @@ def to_hyper_operand(X, tran: bool = False, what: str = "operand"):
 def to_bitmap_operand(X, what: str = "operand"):
     """Any matrix container -> dense bitmap Matrix (small dims only)."""
     CsrMatrix, CscMatrix, HyperMatrix = _containers()
+    if hasattr(X, "wait"):
+        X = X.wait()
     if isinstance(X, (CsrMatrix, CscMatrix)):
         return X.to_matrix()
     if isinstance(X, HyperMatrix):

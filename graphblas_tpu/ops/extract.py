@@ -35,14 +35,27 @@ def extract(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     ``A`` with a bitmap ``C`` extracts sparsely then lands the
     (region-sized) result on the bitmap — A itself is never densified.
     """
-    from ..sparse.container import CsrMatrix
+    from ..sparse.container import CsrMatrix, CscMatrix
+    from ..sparse.hyper import HyperMatrix
+    from .containers import to_csr_operand
+    if isinstance(C, HyperMatrix):
+        from ..sparse.hyper_assign import hyper_extract
+        return hyper_extract(C, M, accum, A, I, J, desc)
+    if isinstance(C, CscMatrix):
+        from ..sparse.assign import csr_extract
+        d = desc_of(desc)
+        Aw = to_csr_operand(A, not d.tran0, "extract input")
+        Mw = to_csr_operand(M, True, "mask") if M is not None else None
+        import dataclasses as _dc
+        return CscMatrix(csr_extract(C.tr, Mw, accum, Aw, J, I,
+                                     _dc.replace(d, tran0=False)))
     if isinstance(C, CsrMatrix):
         from ..sparse.assign import csr_extract
         return csr_extract(C, M, accum, A, I, J, desc)
-    if isinstance(A, CsrMatrix):
+    if isinstance(A, (CsrMatrix, CscMatrix, HyperMatrix)):
         from ..sparse.assign import csr_subref
         d = desc_of(desc)
-        At = A.T() if d.tran0 else A
+        At = to_csr_operand(A, d.tran0, "extract input")
         T = csr_subref(At, I, J).to_matrix()
         return accum_mask(C, M, T, accum, d)
     d = desc_of(desc)

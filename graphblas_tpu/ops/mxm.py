@@ -379,6 +379,7 @@ def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
         # up to 2^60 — the GB_to_hyper capability, GB.h:314-323);
         # non-hyper operands convert toward the output container
         from .containers import to_hyper_operand
+        C = C.wait()
         A = to_hyper_operand(A, d.tran0, "mxm input A")
         B = to_hyper_operand(B, d.tran1, "mxm input B")
         M = to_hyper_operand(M, False, "mask") if M is not None else None

@@ -53,6 +53,7 @@ def reduce_to_vector(w: Vector, m: Optional[Vector],
     from .containers import UnsupportedContainer, to_csr_operand
     if isinstance(A, HyperMatrix):
         from ..sparse.hyper import hyper_reduce_vector, hyper_transpose
+        A = A.wait()
         if d.tran0:
             A = hyper_transpose(A)
         if A.nrows != w.shape[0]:
@@ -99,13 +100,14 @@ def reduce_to_scalar(accum: Optional[BinaryOp], op: Union[Monoid, BinaryOp],
     from ..sparse.hyper import HyperMatrix
     if isinstance(A, (CsrMatrix, CscMatrix)):
         from ..sparse.ewise import csr_reduce_scalar
-        t = csr_reduce_scalar(mon, A.tr if isinstance(A, CscMatrix)
-                              else A)
+        t = csr_reduce_scalar(mon, (A.tr if isinstance(A, CscMatrix)
+                                    else A).wait())
         if accum is not None and c is not None:
             t = jax.device_get(accum(jnp.asarray(c), jnp.asarray(t)))[()]
         return t
     if isinstance(A, HyperMatrix):
         from ..sparse.hyper import hyper_reduce_scalar
+        A = A.wait()
         t = hyper_reduce_scalar(mon, A) if A.nvals else mon.identity
         if accum is not None and c is not None:
             t = jax.device_get(accum(jnp.asarray(c), jnp.asarray(t)))[()]

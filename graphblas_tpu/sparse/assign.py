@@ -209,7 +209,10 @@ def _prep_operand(A, Ii, Jj, ctype: Type, tran: bool, scalar: bool):
     if scalar:
         return _scalar_region(A, len(Ii), len(Jj), ctype)
     if not isinstance(A, CsrMatrix):
-        A = CsrMatrix.from_matrix(A.wait())
+        from ..ops.containers import to_csr_operand
+        A = to_csr_operand(A, False, "assign input")
+    else:
+        A = A.wait()
     if tran:
         A = A.T()
     if A.shape != (len(Ii), len(Jj)):
@@ -222,7 +225,10 @@ def _prep_mask(M, shape):
     if M is None:
         return None
     if not isinstance(M, CsrMatrix):
-        M = CsrMatrix.from_matrix(M.wait())
+        from ..ops.containers import to_csr_operand
+        M = to_csr_operand(M, False, "mask")
+    else:
+        M = M.wait()
     if M.shape != shape:
         raise DimensionMismatch(f"mask is {M.shape}, expected {shape}")
     return M
@@ -236,6 +242,7 @@ def csr_subassign(C: CsrMatrix, M, accum: Optional[BinaryOp], A,
     |I| x |J|; REPLACE and the mask never touch entries outside the
     region (``GB_spec_subassign.m``)."""
     d = desc_of(desc)
+    C = C.wait()
     Ii = normalize_indices(I, C.nrows, unique=scalar)
     Jj = normalize_indices(J, C.ncols, unique=scalar)
     A = _prep_operand(A, Ii, Jj, C.type, d.tran0, scalar)
@@ -260,6 +267,7 @@ def csr_assign(C: CsrMatrix, M, accum: Optional[BinaryOp], A,
     REPLACE acts over all of C (``GB_spec_assign.m``: Z = C;
     Z(I,J) = accum(C(I,J),A); C<M,replace> = Z)."""
     d = desc_of(desc)
+    C = C.wait()
     Ii = normalize_indices(I, C.nrows, unique=scalar)
     Jj = normalize_indices(J, C.ncols, unique=scalar)
     A = _prep_operand(A, Ii, Jj, C.type, d.tran0, scalar)
@@ -290,10 +298,8 @@ def csr_extract(C: CsrMatrix, M, accum: Optional[BinaryOp], A,
                 desc: Optional[Descriptor] = None) -> CsrMatrix:
     """C<M> = accum(C, A(I,J)) — GrB_Matrix_extract on CSR."""
     d = desc_of(desc)
-    if not isinstance(A, CsrMatrix):
-        A = CsrMatrix.from_matrix(A.wait())
-    if d.tran0:
-        A = A.T()
+    from ..ops.containers import to_csr_operand
+    A = to_csr_operand(A, d.tran0, "extract input")
     T = csr_subref(A, I, J)
     if T.shape != C.shape:
         raise DimensionMismatch(

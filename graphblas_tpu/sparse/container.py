@@ -39,10 +39,10 @@ class CsrMatrix:
     rowids[nzmax] (the COO dual), values[nzmax]."""
 
     __slots__ = ("indptr", "indices", "rowids", "values", "nvals",
-                 "nrows", "ncols", "type", "_options")
+                 "nrows", "ncols", "type", "_options", "_pending")
 
     def __init__(self, indptr, indices, rowids, values, nvals: int,
-                 nrows: int, ncols: int, type: Type):
+                 nrows: int, ncols: int, type: Type, pending=None):
         self.indptr = indptr
         self.indices = indices
         self.rowids = rowids
@@ -53,14 +53,77 @@ class CsrMatrix:
         self.type = type
         # per-object options (GxB_Matrix_Option_set scope); metadata
         self._options = {}
+        # non-blocking delta buffer: list of (i, j, scalar, accum)
+        # (reference GB_pending_add / GB_matrix.h:249-315)
+        self._pending = list(pending) if pending else []
 
     def tree_flatten(self):
         return ((self.indptr, self.indices, self.rowids, self.values),
-                (self.nvals, self.nrows, self.ncols, self.type))
+                (self.nvals, self.nrows, self.ncols, self.type,
+                 tuple(self._pending)))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
+
+    def _shallow(self) -> "CsrMatrix":
+        out = CsrMatrix(self.indptr, self.indices, self.rowids,
+                        self.values, self.nvals, self.nrows, self.ncols,
+                        self.type, pending=self._pending)
+        out._options = dict(self._options)
+        return out
+
+    # -- pending tuples / element mutation (GB_setElement + GB_wait) ----------
+    def wait(self) -> "CsrMatrix":
+        """Fold the pending delta buffer (reference ``GB_wait``)."""
+        if not self._pending:
+            return self
+        from .pending import fold_pending_csr
+        return fold_pending_csr(self)
+
+    def setElement(self, value, i: int, j: int, *,
+                   accum=None, blocking=None) -> "CsrMatrix":
+        """Functional setElement -> pending tuple (``GB_setElement.c``)."""
+        from .pending import append_pending
+        return append_pending(self, i, j, value, accum, blocking)
+
+    def extractElement(self, i: int, j: int):
+        """Binary search within row i; returns None for GrB_NO_VALUE
+        (``GB_extractElement.c``).  Pulls only indptr scalars + the one
+        row slice to the host."""
+        from .pending import check_index
+        check_index(self, i, j)
+        A = self.wait()
+        s, e = int(A.indptr[i]), int(A.indptr[i + 1])
+        if s == e:
+            return None
+        row = np.asarray(A.indices[s:e])
+        pos = int(np.searchsorted(row, j))
+        if pos >= len(row) or row[pos] != j:
+            return None
+        if A.type.is_udt:
+            return jax.tree_util.tree_map(
+                lambda v: np.asarray(v[s + pos])[()], A.values)
+        return np.asarray(A.values[s + pos])[()]
+
+    def removeElement(self, i: int, j: int) -> "CsrMatrix":
+        """Delete one entry — the functional form of a zombie +
+        immediate ``GB_wait`` (``GB_FLIP``, GB.h:2513-2543)."""
+        from .pending import check_index
+        from .tri import csr_filter_lanes
+        check_index(self, i, j)
+        A = self.wait()
+        keep = ~((A.rowids == i) & (A.indices == j))
+        return csr_filter_lanes(A, keep)
+
+    def resize(self, nrows_new: int, ncols_new: int) -> "CsrMatrix":
+        """GxB_Matrix_resize: prune outside entries, remap on device."""
+        from .pending import csr_resize
+        return csr_resize(self, nrows_new, ncols_new)
+
+    def clear(self) -> "CsrMatrix":
+        from .mask import csr_clear
+        return csr_clear(self)
 
     @property
     def shape(self):
@@ -90,6 +153,7 @@ class CsrMatrix:
 
     # -- conversions ---------------------------------------------------------
     def to_matrix(self) -> Matrix:
+        self = self.wait()
         pat = np.zeros((self.nrows, self.ncols), dtype=np.bool_)
         I = np.asarray(self.rowids)[:self.nvals]
         J = np.asarray(self.indices)[:self.nvals]
@@ -108,6 +172,7 @@ class CsrMatrix:
         return Matrix(jnp.asarray(vals), jnp.asarray(pat), self.type)
 
     def extractTuples(self):
+        self = self.wait()  # reference extractTuples assembles first
         if self.type.is_udt:
             X = jax.tree_util.tree_map(
                 lambda v: np.asarray(v)[:self.nvals], self.values)
@@ -352,6 +417,29 @@ class CscMatrix:
 
     def col_degrees(self):
         return self.tr.row_degrees()
+
+    # -- pending tuples / element mutation (delegated to the stored
+    #    transpose with swapped coordinates) ---------------------------------
+    def wait(self) -> "CscMatrix":
+        t = self.tr.wait()
+        return self if t is self.tr else CscMatrix(t)
+
+    def setElement(self, value, i: int, j: int, *,
+                   accum=None, blocking=None) -> "CscMatrix":
+        return CscMatrix(self.tr.setElement(value, j, i, accum=accum,
+                                            blocking=blocking))
+
+    def extractElement(self, i: int, j: int):
+        return self.tr.extractElement(j, i)
+
+    def removeElement(self, i: int, j: int) -> "CscMatrix":
+        return CscMatrix(self.tr.removeElement(j, i))
+
+    def resize(self, nrows_new: int, ncols_new: int) -> "CscMatrix":
+        return CscMatrix(self.tr.resize(ncols_new, nrows_new))
+
+    def clear(self) -> "CscMatrix":
+        return CscMatrix(self.tr.clear())
 
     def __repr__(self):  # pragma: no cover
         return (f"CscMatrix<{self.type.name}> {self.nrows}x{self.ncols}, "

@@ -77,10 +77,12 @@ class HyperMatrix:
     """
 
     __slots__ = ("h", "hptr", "rowids", "indices", "values",
-                 "nvals", "nvec", "nrows", "ncols", "type", "_options")
+                 "nvals", "nvec", "nrows", "ncols", "type", "_options",
+                 "_pending")
 
     def __init__(self, h, hptr, rowids, indices, values, nvals: int,
-                 nvec: int, nrows: int, ncols: int, type: Type):
+                 nvec: int, nrows: int, ncols: int, type: Type,
+                 pending=None):
         self.h = h
         self.hptr = hptr
         self.rowids = rowids
@@ -92,16 +94,72 @@ class HyperMatrix:
         self.ncols = int(ncols)
         self.type = type
         self._options = {}
+        # non-blocking delta buffer (GB_pending_add analogue)
+        self._pending = list(pending) if pending else []
 
     def tree_flatten(self):
         return ((self.h, self.hptr, self.rowids, self.indices,
                  self.values),
                 (self.nvals, self.nvec, self.nrows, self.ncols,
-                 self.type))
+                 self.type, tuple(self._pending)))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
+
+    def _shallow(self) -> "HyperMatrix":
+        out = HyperMatrix(self.h, self.hptr, self.rowids, self.indices,
+                          self.values, self.nvals, self.nvec,
+                          self.nrows, self.ncols, self.type,
+                          pending=self._pending)
+        out._options = dict(self._options)
+        return out
+
+    # -- pending tuples / element mutation (GB_setElement + GB_wait) ----------
+    def wait(self) -> "HyperMatrix":
+        """Fold the pending delta buffer (reference ``GB_wait``)."""
+        if not self._pending:
+            return self
+        from .pending import fold_pending_hyper
+        return fold_pending_hyper(self)
+
+    def setElement(self, value, i: int, j: int, *,
+                   accum=None, blocking=None) -> "HyperMatrix":
+        from .pending import append_pending
+        return append_pending(self, i, j, value, accum, blocking)
+
+    def extractElement(self, i: int, j: int):
+        """h-list search then within-row binary search; None for
+        GrB_NO_VALUE.  Pulls only scalars + one row slice."""
+        from .pending import check_index
+        check_index(self, i, j)
+        A = self.wait()
+        h = np.asarray(A.h[:max(A.nvec, 1)])
+        k = int(np.searchsorted(h, i))
+        if k >= A.nvec or h[k] != i:
+            return None
+        s, e = int(A.hptr[k]), int(A.hptr[k + 1])
+        row = np.asarray(A.indices[s:e])
+        pos = int(np.searchsorted(row, j))
+        if pos >= len(row) or row[pos] != j:
+            return None
+        return np.asarray(A.values[s + pos])[()]
+
+    def removeElement(self, i: int, j: int) -> "HyperMatrix":
+        from .pending import check_index
+        check_index(self, i, j)
+        A = self.wait()
+        I, J, X = A.extractTuples()
+        keep = ~((I == i) & (J == j))
+        return hyper_from_coo(I[keep], J[keep], X[keep], A.nrows,
+                              A.ncols, type=A.type, dup=None)
+
+    def resize(self, nrows_new: int, ncols_new: int) -> "HyperMatrix":
+        from .pending import hyper_resize
+        return hyper_resize(self, nrows_new, ncols_new)
+
+    def clear(self) -> "HyperMatrix":
+        return _empty_hyper(self.nrows, self.ncols, self.type)
 
     @property
     def shape(self):
@@ -140,6 +198,7 @@ class HyperMatrix:
 
     # -- accessors ----------------------------------------------------------
     def extractTuples(self):
+        self = self.wait()  # reference extractTuples assembles first
         n = self.nvals
         return (np.asarray(self.rowids)[:n],
                 np.asarray(self.indices)[:n],
@@ -668,6 +727,9 @@ def hyper_accum_mask(C: HyperMatrix, M: Optional[HyperMatrix],
     eWiseAdd(C, T, accum) : T, then the mask merge — entries where the
     (effective) mask is true come from Z, elsewhere from C (dropped
     under REPLACE).  Transcribes ``GB_spec_mask.m`` / ``GB_mask.c``."""
+    C = C.wait()  # fold pending deltas (GB_WAIT at op entry)
+    if M is not None:
+        M = M.wait()
     Z = hyper_ewise(accum, C, T, union=True, ztype=C.type) \
         if accum is not None else T
     if M is None:

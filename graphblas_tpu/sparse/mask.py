@@ -167,6 +167,9 @@ def csr_accum_mask(C: CsrMatrix, M: Optional[CsrMatrix], T: CsrMatrix,
     """Full sparse epilogue C<M> = accum(C, T); returns a new CsrMatrix
     of C's type (reference ``GB_accum_mask.c`` semantics)."""
     d = desc_of(desc)
+    C = C.wait()  # fold pending deltas (GB_WAIT at op entry)
+    if M is not None:
+        M = M.wait()
     if T.shape != C.shape:
         raise DimensionMismatch(f"T shape {T.shape} != C shape {C.shape}")
     if M is not None and M.shape != C.shape:
