@@ -198,6 +198,14 @@ def subassign_scalar(C, M, accum, x, I=None, J=None, desc=None):
 def assign_vector(w: Vector, m: Optional[Vector], accum, u, I=None,
                   desc=None, *, scalar: bool = False) -> Vector:
     """GrB_Vector_assign: w<m>(I) = accum(w(I), u)."""
+    from ..sparse.vector import SparseVec
+    if isinstance(w, SparseVec):
+        from ..sparse.hyper_assign import hyper_assign
+        from .containers import vec_hyper_operand
+        uh = u if scalar else vec_hyper_operand(u, "assign input")
+        mh = vec_hyper_operand(m, "mask") if m is not None else None
+        return SparseVec(hyper_assign(w.hm, mh, accum, uh, I, [0],
+                                      desc, scalar=scalar))
     Cm = _as_matrix(w)
     Mm = _as_matrix(m)
     Am = u if scalar else _as_matrix(u)
@@ -207,6 +215,14 @@ def assign_vector(w: Vector, m: Optional[Vector], accum, u, I=None,
 
 def subassign_vector(w: Vector, m: Optional[Vector], accum, u, I=None,
                      desc=None, *, scalar: bool = False) -> Vector:
+    from ..sparse.vector import SparseVec
+    if isinstance(w, SparseVec):
+        from ..sparse.hyper_assign import hyper_subassign
+        from .containers import vec_hyper_operand
+        uh = u if scalar else vec_hyper_operand(u, "subassign input")
+        mh = vec_hyper_operand(m, "mask") if m is not None else None
+        return SparseVec(hyper_subassign(w.hm, mh, accum, uh, I, [0],
+                                         desc, scalar=scalar))
     Cm = _as_matrix(w)
     Mm = _as_matrix(m)
     Am = u if scalar else _as_matrix(u)

@@ -18,7 +18,8 @@ from ..core.errors import GraphBLASError
 from ..core.matrix import Matrix, Vector
 
 __all__ = ["to_csr_operand", "to_hyper_operand", "to_bitmap_operand",
-           "is_sparse_container", "UnsupportedContainer"]
+           "vec_hyper_operand", "is_sparse_container",
+           "UnsupportedContainer"]
 
 _CSR_DIM_CAP = 1 << 28  # an O(nrows) indptr stops being reasonable here
 
@@ -83,6 +84,19 @@ def to_hyper_operand(X, tran: bool = False, what: str = "operand"):
         return hyper_transpose(H) if tran else H
     raise UnsupportedContainer(
         f"{what}: expected a matrix container, got {type(X).__name__}")
+
+
+def vec_hyper_operand(X, what: str = "operand"):
+    """Any vector container -> the wrapped/equivalent vlen x 1
+    HyperMatrix (the reference's vector-is-a-matrix identity,
+    ``GB_matrix.h:18-26``)."""
+    from ..sparse.vector import SparseVec
+    if isinstance(X, SparseVec):
+        return X.wait().hm
+    if isinstance(X, Vector):
+        return SparseVec.from_vector(X).hm
+    raise UnsupportedContainer(
+        f"{what}: expected a vector container, got {type(X).__name__}")
 
 
 def to_bitmap_operand(X, what: str = "operand"):

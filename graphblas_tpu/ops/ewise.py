@@ -122,6 +122,18 @@ def _ewise_csr(C, M, accum, op, A, B, d, union):
 def _dispatch_ewise(C, M, accum, op, A, B, d, union):
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
+    from ..sparse.vector import SparseVec
+    if isinstance(C, SparseVec):
+        from ..sparse.hyper import hyper_accum_mask, hyper_ewise
+        from .containers import vec_hyper_operand
+        Aw = vec_hyper_operand(A, "eWise input A")
+        Bw = vec_hyper_operand(B, "eWise input B")
+        _hyper_guard_udt(op, Aw.type, Bw.type, C.type)
+        Mw = vec_hyper_operand(M, "mask") if M is not None else None
+        T = hyper_ewise(op, Aw, Bw, union=union)
+        return SparseVec(hyper_accum_mask(
+            C.hm, Mw, T, accum, replace=d.replace,
+            complement=d.mask_scmp, structural=d.mask_structure))
     if isinstance(C, HyperMatrix):
         return _ewise_hyper(C, M, accum, op, A, B, d, union)
     if isinstance(C, (CsrMatrix, CscMatrix)):
@@ -166,6 +178,16 @@ def apply(C, M, accum: Optional[BinaryOp], op: UnaryOp, A,
     d = desc_of(desc)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
+    from ..sparse.vector import SparseVec
+    if isinstance(C, SparseVec):
+        from ..sparse.hyper import hyper_accum_mask, hyper_apply
+        from .containers import vec_hyper_operand
+        Aw = vec_hyper_operand(A, "apply input")
+        Mw = vec_hyper_operand(M, "mask") if M is not None else None
+        T = hyper_apply(op, Aw, ztype=op.ztype)
+        return SparseVec(hyper_accum_mask(
+            C.hm, Mw, T, accum, replace=d.replace,
+            complement=d.mask_scmp, structural=d.mask_structure))
     if isinstance(C, HyperMatrix):
         from ..sparse.hyper import hyper_accum_mask, hyper_apply
         Aw = to_hyper_operand(A, d.tran0, "apply input")
@@ -212,6 +234,17 @@ def select(C, M, accum: Optional[BinaryOp], op: SelectOp, A,
     d = desc_of(desc)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
+    from ..sparse.vector import SparseVec
+    if isinstance(C, SparseVec):
+        from ..sparse.hyper import hyper_accum_mask, hyper_select
+        from .containers import vec_hyper_operand
+        Aw = vec_hyper_operand(A, "select input")
+        Mw = vec_hyper_operand(M, "mask") if M is not None else None
+        T = hyper_select("USER", Aw,
+                         user_fn=lambda i, j, x: op(i, j, x, thunk))
+        return SparseVec(hyper_accum_mask(
+            C.hm, Mw, T, accum, replace=d.replace,
+            complement=d.mask_scmp, structural=d.mask_structure))
     if isinstance(C, HyperMatrix):
         from ..sparse.hyper import hyper_accum_mask, hyper_select
         Aw = to_hyper_operand(A, d.tran0, "select input")

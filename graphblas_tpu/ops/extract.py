@@ -77,6 +77,14 @@ def extract_vector(w: Vector, m: Optional[Vector],
                    accum: Optional[BinaryOp], u: Vector, I: Any = None,
                    desc: Optional[Descriptor] = None) -> Vector:
     """w<m> = accum(w, u(I)) (``GrB_Vector_extract``)."""
+    from ..sparse.vector import SparseVec
+    if isinstance(w, SparseVec):
+        from ..sparse.hyper_assign import hyper_extract
+        from .containers import vec_hyper_operand
+        uh = vec_hyper_operand(u, "extract input")
+        mh = vec_hyper_operand(m, "mask") if m is not None else None
+        return SparseVec(hyper_extract(w.hm, mh, accum, uh, I, [0],
+                                       desc))
     d = desc_of(desc)
     u = u.wait()
     Ii = normalize_indices(I, u.shape[0])

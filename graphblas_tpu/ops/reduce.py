@@ -50,7 +50,26 @@ def reduce_to_vector(w: Vector, m: Optional[Vector],
     mon = _as_monoid(op)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
+    from ..sparse.vector import SparseVec
     from .containers import UnsupportedContainer, to_csr_operand
+    if isinstance(w, SparseVec):
+        # sparse output at any dimension: per-row fold is already
+        # sparse over A.h; epilogue on the wrapped 1-column matrix
+        from ..sparse.hyper import (hyper_accum_mask,
+                                    hyper_reduce_vector,
+                                    hyper_transpose)
+        from .containers import to_hyper_operand, vec_hyper_operand
+        Ah = to_hyper_operand(A, d.tran0, "reduce input")
+        if Ah.nrows != w.size:
+            raise DimensionMismatch(
+                f"w has size {w.size}, A has {Ah.nrows} rows")
+        ids, vals = hyper_reduce_vector(mon, Ah.wait())
+        T = SparseVec.from_coo(ids, vals, w.size, type=mon.type,
+                               dup=None).hm
+        mh = vec_hyper_operand(m, "mask") if m is not None else None
+        return SparseVec(hyper_accum_mask(
+            w.hm, mh, T, accum, replace=d.replace,
+            complement=d.mask_scmp, structural=d.mask_structure))
     if isinstance(A, HyperMatrix):
         from ..sparse.hyper import hyper_reduce_vector, hyper_transpose
         A = A.wait()
@@ -98,6 +117,9 @@ def reduce_to_scalar(accum: Optional[BinaryOp], op: Union[Monoid, BinaryOp],
     mon = _as_monoid(op)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
+    from ..sparse.vector import SparseVec
+    if isinstance(A, SparseVec):
+        A = A.hm
     if isinstance(A, (CsrMatrix, CscMatrix)):
         from ..sparse.ewise import csr_reduce_scalar
         t = csr_reduce_scalar(mon, (A.tr if isinstance(A, CscMatrix)

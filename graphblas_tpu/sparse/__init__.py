@@ -26,6 +26,9 @@ from .hyper import (HyperMatrix, hyper_from_coo, hyper_spgemm,
                     hyper_transpose, hyper_conform, nvec_nonempty,
                     GxB_INDEX_MAX, GxB_HYPER_DEFAULT, GxB_ALWAYS_HYPER,
                     GxB_NEVER_HYPER)
+from .hyper_assign import (hyper_subref, hyper_extract, hyper_assign,
+                           hyper_subassign, hyper_filter_lanes)
+from .vector import SparseVec
 
 __all__ = [
     "CsrMatrix", "CscMatrix", "csr_from_coo", "pack_pattern", "popcount", "words_for",
@@ -46,4 +49,6 @@ __all__ = [
     "hyper_apply", "hyper_select", "hyper_transpose", "hyper_conform",
     "nvec_nonempty", "GxB_INDEX_MAX", "GxB_HYPER_DEFAULT",
     "GxB_ALWAYS_HYPER", "GxB_NEVER_HYPER",
+    "hyper_subref", "hyper_extract", "hyper_assign", "hyper_subassign",
+    "hyper_filter_lanes", "SparseVec",
 ]

@@ -192,3 +192,74 @@ def test_esc_spgemm_int64_keys(rng):
     Ic, Jc, Xc = C.extractTuples()
     got = {(int(i), int(j)): x for i, j, x in zip(Ic, Jc, Xc)}
     assert got == {(0, 2): 2.0, (1, 3): 6.0, (n - 1, 1): 4.0}
+
+
+# -- plan cache: steady-state calls skip every host sync (VERDICT r3) --------
+
+def test_spgemm_plan_cache_repeated_calls(rng):
+    from graphblas_tpu.sparse import csr_spgemm
+    n = 300
+    A = CsrMatrix.from_coo(rng.integers(0, n, 2000),
+                              rng.integers(0, n, 2000),
+                              rng.random(2000), n, n, type=gb.FP64)
+    B = CsrMatrix.from_coo(rng.integers(0, n, 2000),
+                              rng.integers(0, n, 2000),
+                              rng.random(2000), n, n, type=gb.FP64)
+    sr = semiring.plus_times[gb.FP64]
+    C1 = csr_spgemm(sr, A, B)
+    assert ("_spgemm_plan", False, False) in A._options
+    C2 = csr_spgemm(sr, A, B)  # plan hit: no host pull
+    assert C1.nvals == C2.nvals
+    for a, b in zip(C1.extractTuples(), C2.extractTuples()):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # different B pattern buffer -> plan miss, fresh correct result
+    B2 = CsrMatrix.from_coo(rng.integers(0, n, 500),
+                               rng.integers(0, n, 500),
+                               rng.random(500), n, n, type=gb.FP64)
+    C3 = csr_spgemm(sr, A, B2)
+    assert C3.nvals != 0
+
+
+def test_spgemm_plan_cache_valued_mask_invalidation(rng):
+    """A valued mask keys output nnz on its VALUES: same pattern with
+    different values must not reuse the cached nnz."""
+    import jax.numpy as jnp
+    from graphblas_tpu.sparse import csr_spgemm
+    n = 200
+    I = rng.integers(0, n, 1500)
+    J = rng.integers(0, n, 1500)
+    A = CsrMatrix.from_coo(I, J, rng.random(1500), n, n, type=gb.FP64)
+    B = CsrMatrix.from_coo(rng.integers(0, n, 1500),
+                              rng.integers(0, n, 1500),
+                              rng.random(1500), n, n, type=gb.FP64)
+    sr = semiring.plus_times[gb.FP64]
+    M1 = CsrMatrix.from_coo(I, J, np.ones(1500), n, n, type=gb.FP64)
+    C1 = csr_spgemm(sr, A, B, mask=M1)
+    # same mask pattern, half the values zeroed
+    newv = np.asarray(M1.values).copy()
+    newv[: M1.nvals // 2] = 0.0
+    M2 = CsrMatrix(M1.indptr, M1.indices, M1.rowids,
+                      jnp.asarray(newv), M1.nvals, n, n, gb.FP64)
+    C2 = csr_spgemm(sr, A, B, mask=M2)
+    assert C2.nvals < C1.nvals
+
+
+def test_mxm_cost_model_exact_flops(rng):
+    """The engine decision + counters see the true flop count
+    (GB_AxB_flopcount.c), not the nvals^2/k estimate (VERDICT r2 #5)."""
+    from graphblas_tpu.utils import counters
+    from graphblas_tpu.ops.mxm import mxm
+    n = 400
+    IA, JA = rng.integers(0, n, 3000), rng.integers(0, n, 3000)
+    IB, JB = rng.integers(0, n, 3000), rng.integers(0, n, 3000)
+    A = CsrMatrix.from_coo(IA, JA, rng.random(3000), n, n,
+                              type=gb.FP64)
+    B = CsrMatrix.from_coo(IB, JB, rng.random(3000), n, n,
+                              type=gb.FP64)
+    IA2, JA2, _ = A.extractTuples()
+    IB2, JB2, _ = B.extractTuples()
+    exact = int(np.bincount(IB2, minlength=n)[JA2].sum())
+    counters.reset()
+    Cc = CsrMatrix.from_coo([], [], np.zeros(0), n, n, type=gb.FP64)
+    mxm(Cc, None, None, semiring.plus_times[gb.FP64], A, B)
+    assert counters._state["modelled_flops"] == exact
