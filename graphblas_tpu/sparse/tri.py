@@ -8,9 +8,10 @@ output coordinate — but the mask's CSR keys are ALREADY sorted, so each
 lane can locate its output slot directly by binary search and
 segment-add there.  No sort, no n^2, no n^2/32 bitpack: O(flops) gathers
 + O(flops log nnz(M)) compares, chunked so peak memory is bounded.
-This is what lets triangle counting run at scale-20 (10^6 nodes) on one
-chip where both the bitmap and the bitpacked engines are infeasible
-(VERDICT round-2 #3).
+This is what lets triangle counting run at large scale on one chip
+where both the bitmap and the bitpacked engines are infeasible
+(VERDICT round-2 #3); measured scale-18/scale-20 runs are recorded in
+PERF.md ("Committed scale evidence").
 
 Reference counterparts: ``Template/GB_AxB_dot_mask.c`` (masked dot),
 ``Extras/tri/tri_main.c`` (scale ambitions), ``tricount.c`` SandiaDot.
