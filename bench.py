@@ -6,14 +6,19 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline (BASELINE.md): the reference counts triangles on Wathen demo
 graphs at 5.62 M edges/s kernel-only (dot method, 1 thread,
 ``Demo/Output/tri_demo.out:82``).  We run the same SandiaDot masked mxm
-((L*U').*L + reduce) on a 190x larger Wathen instance (nx=ny=64,
-~12.5 K nodes, ~100 K edges) using the BSR tile path: every tile-triple
-product is an int8 MXU matmul (``graphblas_tpu/sparse/bsr.py``).
+((L*U').*L + reduce) on a 760x larger Wathen instance (nx=ny=128,
+~50 K nodes, ~360 K edges) through the library's auto-selected engine —
+the band-ring Pallas kernel (``sparse/pallas_window.py``): U streams
+once through a VMEM ring, mask fused, MXU int8 contractions, ONE
+dispatch per call.
 
-Timing note: the device is reached through a tunnel with ~35 ms RTT, so
-the kernel is timed by asynchronously dispatching K iterations and
-blocking once — standard RTT amortization; the correctness gate runs
-first, unamortized.
+Timing note: the device is reached through a tunnel with ~32 ms RTT and
+``block_until_ready()`` does not block there, so the kernel is timed by
+asynchronously dispatching K iterations and pulling the final partials
+(the FIFO stream drains all K; PERF.md "honest timing").  Two rates are
+reported (VERDICT round-2 weak #9): the amortized kernel rate and the
+single-call API rate of ``tricount_auto`` (which pays one full RTT per
+call through this tunnel).
 """
 
 import json
@@ -24,90 +29,85 @@ import numpy as np
 
 def main():
     import jax
-    import jax.numpy as jnp
     import graphblas_tpu as gb
-    from graphblas_tpu import models
-    from graphblas_tpu.sparse import bsr
+    from graphblas_tpu import sparse as sp
+    from graphblas_tpu.models.generate import wathen_coo
+    from graphblas_tpu.sparse import window as W
+    from graphblas_tpu.sparse import tri
+    from graphblas_tpu.sparse.pallas_window import tricount_band_partials
 
-    # Wathen graph, same family as tri_demo (nx=ny=64 -> n=12545);
-    # host-side pattern build — only the ~5 MB of BSR tiles reach the
-    # device, which is the production dataflow for sharded loading too.
-    nx = ny = 64
-    Apn = models.wathen_pattern(nx, ny, seed=1)
-    n = Apn.shape[0]
-    np.fill_diagonal(Apn, False)
-    nedges = int(Apn.sum()) // 2
-    Lpn = np.tril(Apn, -1)
-    Upn = np.triu(Apn, 1)
+    # Wathen graph, same family as tri_demo (nx=ny=128 -> n=49665),
+    # assembled host-side from triplets — only the band panels reach
+    # the device (the production dataflow for sharded loading too).
+    nx = ny = 128
+    I, J, X, n = wathen_coo(nx, ny, seed=1)
+    ku = np.unique(I * n + J)
+    iu, ju = ku // n, ku % n
+    off = iu != ju
+    iu, ju = iu[off], ju[off]
+    nedges = len(iu) // 2
+    lo, up = iu > ju, iu < ju
+    L = sp.CsrMatrix.from_coo(iu[lo], ju[lo], np.ones(lo.sum(), bool),
+                              n, n, type=gb.BOOL, sum_duplicates=False)
+    U = sp.CsrMatrix.from_coo(iu[up], ju[up], np.ones(up.sum(), bool),
+                              n, n, type=gb.BOOL, sum_duplicates=False)
 
-    # build the BSR decomposition + triple schedule (host; analogous to
-    # tri_prep, untimed in the reference's kernel-only number too) —
-    # via the library's shared schedule builder
-    from graphblas_tpu.sparse import pallas_bsr as pb
-    Lt = bsr.tile_pattern(Lpn)
-    Ut = bsr.tile_pattern(Upn)
-    sched = pb.build_schedule(Lt, Lt, Ut)
-    assert sched is not None, "bench graph produced no tile triples"
-    starts, ta, tb, Mtiles, kmax, outs = sched
-    interp = jax.default_backend() == "cpu"
-    sum_jit = jax.jit(jnp.sum)
+    # library-level call (engine auto-select; includes the host pull)
+    t0 = time.perf_counter()
+    ntri = tri.tricount_auto(L, U)
+    api_first = time.perf_counter() - t0   # includes plan build+compile
+    from graphblas_tpu.ops.flopcount import last_axb_method
+    engine = last_axb_method()
+    t0 = time.perf_counter()
+    ntri2 = tri.tricount_auto(L, U)
+    api_call = time.perf_counter() - t0    # steady state: 1 dispatch+pull
+    assert ntri == ntri2
 
-    def tri_kernel():
-        # Pallas BSR masked SpGEMM: int8 MXU tile products accumulated
-        # in VMEM, mask fused (graphblas_tpu/sparse/pallas_bsr.py).
-        # Two chained dispatches (kernel, then reduce) — wrapping both
-        # in one outer jit re-stages the pallas launch and costs ~0.5 ms
-        C = pb._launch(starts, ta, tb, Lt.tiles, Ut.tiles, Mtiles,
-                       kmax, interp)
-        return sum_jit(C)
-
-    # timed FIRST: a large device-to-host pull degrades the tunnel's
-    # dispatch latency ~20x for the rest of the process, so the
-    # measurement precedes the big correctness pulls.  IMPORTANT:
-    # block_until_ready() does NOT block on the axon tunnel — the only
-    # real sync is a host pull, so each timing loop ends by pulling the
-    # final scalar (forces FIFO drain of all K dispatches; the ~35 ms
-    # RTT is amortized over K).
+    # kernel-rate: K async dispatches of the public engine entry, one
+    # pull (timed FIRST relative to any large host pulls — a big
+    # device->host transfer degrades later dispatch latency ~20x on
+    # this tunnel)
+    plan = W.build_band_plan(L, U)
+    assert plan is not None, "bench graph must qualify for the band plan"
     K = 200
-    float(tri_kernel())   # warm + real sync (scalar pull)
+    np.asarray(tricount_band_partials(plan))   # warm
     elapsed = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        results = [tri_kernel() for _ in range(K)]
-        float(results[-1])   # scalar pull = true completion barrier
+        outs = [tricount_band_partials(plan) for _ in range(K)]
+        np.asarray(outs[-1])                   # pull = completion barrier
         elapsed = min(elapsed, (time.perf_counter() - t0) / K)
 
-    # correctness gate vs dense BLAS oracle.  f32 is exact here: the
-    # count matrix entries are < 2^24 and the masked sum is < 2^24 per
-    # partial; accumulate the final sum in f64.
-    ntri = int(np.asarray(tri_kernel()))
-    Af = Apn.astype(np.float32)
-    want = int(round(((Af @ Af) * Af).astype(np.float64).sum())) // 6
+    # correctness gates AFTER timing: (1) the independent sort-merge
+    # CSR engine must agree; (2) at nx=64 a dense-BLAS oracle run is in
+    # tests (test_window.py, tests_tpu) — here the cross-engine check
+    # keeps the gate O(nnz) at this scale.
+    want = tri.tricount_esc(L, U)
     assert ntri == want, f"tricount mismatch: {ntri} != {want}"
 
     rate = nedges / elapsed
     baseline = 5.62e6  # edges/s, Demo/Output/tri_demo.out:82 (dot method)
-    # chip-relative accounting (VERDICT round-2 #6): the kernel issues
-    # one int8 MXU tile product per scheduled (I,K,J) triple -> device
-    # work = ntriples * 2*T^3 MACs; MFU vs the v5e int8 peak (394 TOPS).
-    # "Useful" flops are the reference-style masked-SpGEMM flop count
-    # (wedges through mask entries), all other MACs being padding.
-    ntriples = int(len(ta))
+    # chip-relative accounting: device work = the real tile-triple
+    # schedule (ntriples * 2*T^3 MACs) vs the v5e int8 peak (394 TOPS);
+    # "useful" flops are the reference-style masked-SpGEMM wedge count.
     T = 128
-    device_flops = ntriples * 2 * T**3
-    # useful MACs = wedges that land on mask entries = ((L@U).*L).sum()
-    # = ntri exactly (each triangle counted once at its min-vertex /
-    # max-vertex orientation) — no extra n^3 host matmul needed
-    useful = 2 * want
+    device_flops = plan.ntriples * 2 * T**3
+    useful = 2 * ntri
     mfu = device_flops / elapsed / 394e12
     print(json.dumps({
         "metric": "masked_spgemm_tricount_edges_per_s",
         "value": rate,
         "unit": "edges/s",
         "vs_baseline": rate / baseline,
+        "engine": engine,
+        "n": n,
+        "nedges": nedges,
+        "ntri": ntri,
         "device_gflops": device_flops / elapsed / 1e9,
         "useful_gflops": useful / elapsed / 1e9,
         "mfu_int8": mfu,
+        "api_call_s": api_call,
+        "api_edges_per_s": nedges / api_call,
     }))
 
 
@@ -116,7 +116,7 @@ if __name__ == "__main__":
     # transiently (observed "ABORTED: TPU backend error")
     try:
         main()
-    except Exception as e:  # pragma: no cover
+    except Exception:  # pragma: no cover
         import sys
         import traceback
         traceback.print_exc()

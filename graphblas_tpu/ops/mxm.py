@@ -405,6 +405,43 @@ def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
                                 structural=d.mask_structure)
     if isinstance(C, CsrMatrix):
         return _mxm_sparse(C, M, accum, semiring, A, B, d)
+    # SpMM fast path: sparse A x dense bitmap B with dense output —
+    # ONE k-wide row-gather per nnz instead of densifying A (the
+    # gather's cost is width-independent, so k vectors ride one random
+    # access; PERF.md "SpMM" / VERDICT round-3 #3)
+    from ..sparse.container import CscMatrix
+    if (isinstance(A, (CsrMatrix, CscMatrix)) and isinstance(B, Matrix)
+            and not isinstance(B, CsrMatrix)
+            and not semiring.ztype.is_udt and not A.type.is_udt
+            and not B.type.is_udt):
+        from ..sparse.spmm import csr_spmm_dense
+        Ac = _as_csr(A)
+        if d.tran0:
+            Ac = Ac.T()
+        B = B.wait()
+        Bv, Bp = B.values, B.pattern
+        if d.tran1:
+            Bv, Bp = Bv.T, Bp.T
+        if Ac.ncols != Bv.shape[0]:
+            raise DimensionMismatch(
+                f"A is {Ac.shape}, B is {Bv.shape}")
+        # one host pull per distinct B (cached — the tunnel charges
+        # ~32 ms per sync, so steady-state calls must not re-check)
+        if isinstance(Bp, jax.core.Tracer):
+            allp = False
+        else:
+            allp = getattr(B, "_spmm_allp", None)
+            if allp is None:
+                allp = bool(np.asarray(jnp.all(Bp)))
+                try:
+                    object.__setattr__(B, "_spmm_allp", allp)
+                except (AttributeError, TypeError):
+                    pass
+        tvals, tpat = csr_spmm_dense(semiring, Ac, Bv,
+                                     None if allp else Bp)
+        T = Matrix(tvals, tpat, semiring.ztype)
+        return accum_mask(C, _as_bitmap(M) if M is not None else None,
+                          T, accum, d)
     A = _as_bitmap(A).wait()
     B = _as_bitmap(B).wait()
     M = _as_bitmap(M) if M is not None else None

@@ -29,8 +29,9 @@ import numpy as np
 from .container import CsrMatrix
 from .esc import _bucket
 
-__all__ = ["masked_pair_counts", "tricount_esc", "ktruss_esc",
-           "allktruss_esc", "csr_filter_lanes", "csr_tril", "csr_triu"]
+__all__ = ["masked_pair_counts", "tricount_esc", "tricount_auto",
+           "ktruss_esc", "allktruss_esc", "csr_filter_lanes", "csr_tril",
+           "csr_triu"]
 
 
 #: lanes per dispatch cap: the sort-merge kernel holds ~3 int64 +
@@ -223,6 +224,30 @@ def tricount_esc(L: CsrMatrix, U: Optional[CsrMatrix] = None,
     B = U if U is not None else L
     counts = masked_pair_counts(L, L, B, chunk)
     return int(jnp.sum(counts.astype(jnp.int64)))
+
+
+def tricount_auto(L: CsrMatrix, U: CsrMatrix) -> int:
+    """SandiaDot triangle count with engine auto-select (the
+    GB_AxB_select analogue at algorithm level):
+
+      1. band-ring Pallas kernel — banded graphs, mask == L; U streams
+         once through a VMEM ring (fastest; PERF.md round 3)
+      2. fused window-panel Pallas kernel — clustered/windowed graphs
+      3. sort-merge masked counting (this module) — any structure
+
+    Engine recorded in ``last_axb_method``."""
+    from .window import build_band_plan, build_window_plan
+    from .pallas_window import (tricount_band_partials,
+                                window_count_partials)
+    plan = build_band_plan(L, U)
+    if plan is not None:
+        parts = np.asarray(tricount_band_partials(plan))
+        return int(parts.astype(np.int64).sum())
+    wplan = build_window_plan(L, U, L)
+    if wplan is not None:
+        parts = np.asarray(window_count_partials(wplan))
+        return int(parts.astype(np.int64).sum())
+    return tricount_esc(L, U)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
