@@ -71,13 +71,17 @@ def main():
             dt = min(dt, (time.perf_counter() - t0) / K)
         return dt
 
+    import sys
+    print("timing gather...", file=sys.stderr, flush=True)
     dt_gather = measure(_csr_mxv_densex_jit, gather_args)
+    print("timing sorted...", file=sys.stderr, flush=True)
     dt_sorted = measure(_csr_mxv_sorted_jit, sorted_args)
 
     # single-dispatch Pallas BSR engine (dense-tile MXU matvecs) when
     # the flop-model gate qualifies this graph
     from graphblas_tpu.sparse.pallas_spmv import (bsr_spmv_ok,
                                                   bsr_spmv_plan, _launch)
+    print("timing bsr...", file=sys.stderr, flush=True)
     dt_bsr = float("inf")
     if bsr_spmv_ok(sr, A) and jax.default_backend() != "cpu":
         rb, cb, slot, valid, tiles, nrb, ncb, ntiles = bsr_spmv_plan(A)
@@ -86,6 +90,30 @@ def main():
             .reshape(ncb, 1, T)
         bsr_args = (rb, cb, slot, valid, tiles, nrb, False, x2d)
         dt_bsr = measure(_launch, bsr_args)
+
+    # SpMM (multi-vector) through the bucketed-ELL engine: the gather
+    # cost is k-independent, so k vectors ride one random access
+    # (VERDICT round-3 #3; PERF.md roofline).  k=32 keeps the slot
+    # intermediate < 2 GB at scale 18.
+    from graphblas_tpu.sparse.spmm import spmm_plan, _spmm_jit
+    plan = spmm_plan(A)
+    kcols = 32
+    Xk = jnp.asarray(np.random.default_rng(1).random(
+        (n, kcols)).astype(np.float32))
+    Xe = jnp.concatenate([Xk, jnp.zeros((1, kcols), jnp.float32)])
+    Xpe = jnp.ones((1, 1), bool)
+    avals_ext = jnp.concatenate([A.values, jnp.zeros((1,), jnp.float32)])
+    spmm_args = ("PLUS", sr, A.nrows, np.dtype(np.float32), True,
+                 plan.buckets, avals_ext, plan.cols_slot, plan.perm,
+                 plan.rowids, Xe, Xpe, jnp.float32(0))
+    print("timing spmm...", file=sys.stderr, flush=True)
+    dt_spmm = measure(_spmm_jit, spmm_args, K=30)
+
+    # API rate: one public csr_mxv call, including its host sync
+    t0 = time.perf_counter()
+    ya, _ = csr_mxv(sr, A, x)
+    float(jnp.sum(ya))
+    api_call = time.perf_counter() - t0
 
     dt = min(dt_gather, dt_sorted, dt_bsr)
     rate = A.nvals / dt
@@ -113,6 +141,11 @@ def main():
         "pallas_bsr_nnz_per_s": (A.nvals / dt_bsr
                                  if dt_bsr != float("inf") else None),
         "gflops": 2 * A.nvals / dt / 1e9,
+        "spmm_k": kcols,
+        "spmm_nnz_cols_per_s": A.nvals * kcols / dt_spmm,
+        "spmm_gflops": 2 * A.nvals * kcols / dt_spmm / 1e9,
+        "spmm_gather_gbps": plan.nslots * kcols * 4 / dt_spmm / 1e9,
+        "api_spmv_nnz_per_s": A.nvals / api_call,
     }))
 
 

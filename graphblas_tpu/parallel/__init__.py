@@ -8,7 +8,8 @@ from .algorithms import (dist_bfs, dist_pagerank, dist_tricount,
                          bfs_step_sharded, pagerank_step_sharded)
 from .dist_csr import (DistCsr, dist_csr_from_matrix, dist_csr_mxv,
                        dist_csr_pagerank, dist_csr_bfs)
-from .dist_spgemm import dist_masked_spgemm, dist_tricount_csr
+from .dist_spgemm import (dist_masked_spgemm, dist_spgemm,
+                          dist_tricount_csr)
 
 __all__ = [
     "make_mesh", "row_sharding", "replicated", "P", "Mesh",
@@ -17,5 +18,5 @@ __all__ = [
     "dist_tricount", "bfs_step_sharded", "pagerank_step_sharded",
     "DistCsr", "dist_csr_from_matrix", "dist_csr_mxv",
     "dist_csr_pagerank", "dist_csr_bfs",
-    "dist_masked_spgemm", "dist_tricount_csr",
+    "dist_masked_spgemm", "dist_spgemm", "dist_tricount_csr",
 ]

@@ -78,13 +78,13 @@ def dist_csr_from_matrix(A, mesh: Optional[Mesh] = None,
         I, J, X = A.extractTuples()
         nr, nc = A.shape
         t = getattr(A, "type", None) or type_of_dtype(np.asarray(X).dtype)
-    if t.is_udt:
-        raise TypeError("DistCsr does not hold UDT values")
+    tmap = jax.tree_util.tree_map
     nrows, ncols = (nc, nr) if transpose else (nr, nc)
     if transpose:
         I, J = J, I
         order = np.lexsort((J, I))
-        I, J, X = I[order], J[order], X[order]
+        I, J = I[order], J[order]
+        X = tmap(lambda v: np.asarray(v)[order], X)
     m_pad = pad_to_multiple(max(nrows, 1), d)
     blk = m_pad // d
     dev = (I // blk).astype(np.int64)
@@ -93,19 +93,26 @@ def dist_csr_from_matrix(A, mesh: Optional[Mesh] = None,
     nzpad = pad_to_multiple(max(int(nz_per_dev.max()), 8), 128)
 
     # bool values are staged as uint8 (bool host<->device transfers are
-    # pathologically slow through the tunnel; see core/matrix.np_bool)
-    vdt = np.uint8 if np.dtype(t.dtype) == np.bool_ else np.dtype(t.dtype)
+    # pathologically slow through the tunnel; see core/matrix.np_bool).
+    # UDT values are a pytree of leaves (SoA, like CsrMatrix.values).
+    def _stage(dt):
+        return np.uint8 if np.dtype(dt) == np.bool_ else np.dtype(dt)
     rowptr = np.zeros((d, blk + 1), np.int32)
     indices = np.full((d, nzpad), ncols, np.int32)
     locrow = np.full((d, nzpad), blk, np.int32)
-    values = np.zeros((d, nzpad), vdt)
+    values = tmap(lambda v: np.zeros((d, nzpad),
+                                     _stage(np.asarray(v).dtype)), X)
     for p in range(d):
         sel = dev == p
-        Jp, Lp, Xp = J[sel], loc[sel], X[sel]
+        Jp, Lp = J[sel], loc[sel]
         k = len(Jp)
         indices[p, :k] = Jp
         locrow[p, :k] = Lp
-        values[p, :k] = np.asarray(Xp).astype(vdt, copy=False)
+
+        def put(buf, v):
+            buf[p, :k] = np.asarray(v)[sel].astype(buf.dtype, copy=False)
+            return buf
+        values = tmap(put, values, X)
         cnt = np.bincount(Lp, minlength=blk)
         rowptr[p, 1:] = np.cumsum(cnt)
 
@@ -113,7 +120,8 @@ def dist_csr_from_matrix(A, mesh: Optional[Mesh] = None,
     return DistCsr(jax.device_put(jnp.asarray(rowptr), sh),
                    jax.device_put(jnp.asarray(indices), sh),
                    jax.device_put(jnp.asarray(locrow), sh),
-                   jax.device_put(jnp.asarray(values), sh),
+                   tmap(lambda v: jax.device_put(jnp.asarray(v), sh),
+                        values),
                    mesh, nrows, ncols, blk, t)
 
 
@@ -159,12 +167,55 @@ def _mxv_prog(mesh: Mesh, blk: int, sr: Optional[Semiring]):
     return f
 
 
-def dist_csr_mxv(D: DistCsr, x, sr: Optional[Semiring] = None
-                 ) -> jnp.ndarray:
+def _udt_mxv_prog(mesh: Mesh, blk: int, sr: Semiring):
+    """UDT distributed SpMV program (cached by semiring identity —
+    UDT identities are dict pytrees, unhashable as jit statics)."""
+    key = ("udt", id(mesh), blk, id(sr))
+    f = _PROG_CACHE.get(key)
+    if f is not None:
+        return f
+    tmap = jax.tree_util.tree_map
+
+    def local(rowptr, indices, locrow, values, x_ext):
+        from ..sparse.spmv import segment_reduce_sorted
+        idx = indices[0]
+        loc = locrow[0]
+        vals = tmap(lambda v: v[0], values)
+        xg = tmap(lambda v: jnp.take(v, idx, axis=0), x_ext)
+        z = sr.mult(vals, xg)
+        ident = sr.add.identity
+        live = loc < blk
+        z = tmap(lambda zz, idv: jnp.where(live, zz,
+                                           jnp.asarray(idv, zz.dtype)),
+                 z, ident)
+        y = segment_reduce_sorted(sr.add.op, ident, z,
+                                  jnp.minimum(loc, blk), blk + 1)
+        return tmap(lambda v: v[:blk][None], y)
+
+    f = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("i", None),) * 4 + (P(),),
+        out_specs=P("i", None)))
+    _PROG_CACHE[key] = f
+    return f
+
+
+def dist_csr_mxv(D: DistCsr, x, sr: Optional[Semiring] = None):
     """y = A *.sr* x (default: plus_times on x's dtype); y comes back
     row-sharded (concatenated slabs, padded length), zero collectives.
     Any named (add, mult) pair works — the add monoid must have a
-    segment reduction (PLUS/TIMES/MIN/MAX/LOR/LAND/LXOR/EQ)."""
+    segment reduction (PLUS/TIMES/MIN/MAX/LOR/LAND/LXOR/EQ) — and UDT
+    semirings run through the generic associative-scan reduction
+    (``dpagerank2.c``'s struct semiring, distributed)."""
+    if sr is not None and (sr.ztype.is_udt or D.type.is_udt):
+        # caller supplies x already in the semiring's input domain
+        # (pytree of [ncols] leaves), like the single-chip UDT mxv
+        tmap = jax.tree_util.tree_map
+        x_ext = tmap(lambda v: jnp.concatenate(
+            [jnp.asarray(v), jnp.zeros((1,), jnp.asarray(v).dtype)]), x)
+        prog = _udt_mxv_prog(D.mesh, D.blk, sr)
+        y = prog(D.rowptr, D.indices, D.locrow, D.values, x_ext)
+        return tmap(lambda v: v.reshape(-1)[:D.nrows], y)
     if sr is None:
         x = jnp.asarray(x, jnp.float32)
         xfill = jnp.zeros((1,), x.dtype)

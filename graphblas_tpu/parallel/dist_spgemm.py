@@ -16,8 +16,12 @@ partial folds across steps commute with the within-step folds.
 
 The reference never built this (``GB_AxB_parallel.c:52-74`` is the
 stubbed slice design); the MPI extra (``kron_mpi.c``) has zero
-communication.  Supported add monoids are those with a native scatter
-fold (PLUS/MIN/MAX/TIMES/LOR/LAND); any multiply op works.
+communication.  Add monoids with a native scatter fold
+(PLUS/MIN/MAX/TIMES/LOR/LAND) use it; ANY other associative monoid
+(LXOR/EQ/user) falls back to a per-chunk sort + associative-scan
+segment fold (round 3).  Any multiply op works.  ``dist_spgemm`` is the
+UNMASKED variant: per-device product lanes accumulate into a capacity-
+bounded buffer and one ESC-style sort-dedup emits the local slab.
 """
 
 from __future__ import annotations
@@ -38,7 +42,7 @@ from ..sparse.esc import _bucket
 from .dist_csr import DistCsr, dist_csr_from_matrix
 from .mesh import make_mesh, pad_to_multiple
 
-__all__ = ["dist_masked_spgemm", "dist_tricount_csr"]
+__all__ = ["dist_masked_spgemm", "dist_spgemm", "dist_tricount_csr"]
 
 # add monoids with a jnp scatter fold (GB_assoc_template switch factory,
 # scatter form); others would need a sort per step — not offered yet
@@ -91,7 +95,7 @@ def _spgemm_prog(mesh: Mesh, sr: Semiring, d: int, blkA: int, blkB: int,
     if f is not None:
         return f
 
-    fold = _SCATTER_FOLDS[sr.add.op.name]
+    fold = _SCATTER_FOLDS.get(sr.add.op.name)
     ident = sr.add.identity
     big = np.iinfo(np.dtype(kdt)).max
 
@@ -151,7 +155,21 @@ def _spgemm_prog(mesh: Mesh, sr: Semiring, d: int, blkA: int, blkB: int,
                 z = jnp.where(member, z.astype(zdt),
                               jnp.asarray(ident, zdt))
                 tgt = jnp.where(member, idxc, nzM)
-                return fold(acc, tgt, z), \
+                if fold is not None:
+                    acc2 = fold(acc, tgt, z)
+                else:
+                    # generic associative monoid: sort the chunk by
+                    # target, segment-fold with the scan, combine
+                    # elementwise (identity-washed slots are no-ops)
+                    from ..sparse.spmv import segment_reduce_sorted
+                    tgt_s, z_s = jax.lax.sort((tgt, z), num_keys=1)
+                    fresh = segment_reduce_sorted(
+                        sr.add.op, ident, z_s, tgt_s, nzM + 1)
+                    # ops on staged dtypes (bool->uint8) may return
+                    # bool — pin the carry dtype
+                    acc2 = jnp.asarray(sr.add.op(acc, fresh),
+                                       zdt)
+                return acc2, \
                     npres.at[tgt].add(member.astype(jnp.int32),
                                       mode="drop")
 
@@ -195,11 +213,6 @@ def dist_masked_spgemm(sr: Semiring, A, B, M,
     if M.shape != (m, n):
         from ..core.errors import DimensionMismatch
         raise DimensionMismatch(f"mask {M.shape} vs product {(m, n)}")
-    if sr.add.op.name not in _SCATTER_FOLDS:
-        raise NotImplementedError(
-            f"distributed masked SpGEMM needs a scatter-fold add monoid "
-            f"(PLUS/MIN/MAX/TIMES/LOR/LAND), got {sr.add.op.name}")
-
     DA = dist_csr_from_matrix(A, mesh)
     DB = dist_csr_from_matrix(B, mesh)
     blkA, blkB = DA.blk, DB.blk
@@ -214,24 +227,32 @@ def dist_masked_spgemm(sr: Semiring, A, B, M,
     prog = _spgemm_prog(mesh, sr, d, blkA, blkB, n, chunk, kdt, zdt)
     acc, npres = prog(DA.indices, DA.locrow, DA.values,
                       DB.rowptr, DB.indices, DB.values, m_keys)
-    acc = np.asarray(acc)
-    npres = np.asarray(npres)
 
-    # assemble: per-slab mask tuples are in global CSR order
-    Is, Js, Xs = [], [], []
-    for p in range(d):
-        Ip, Jp = m_tuples[p]
-        kp = len(Ip)
-        pres = npres[p, :kp] > 0
-        Is.append(Ip[pres])
-        Js.append(Jp[pres])
-        Xs.append(acc[p, :kp][pres])
-    I = np.concatenate(Is) if Is else np.zeros(0, np.int64)
-    J = np.concatenate(Js) if Js else np.zeros(0, np.int64)
-    X = np.concatenate(Xs) if Xs else np.zeros(0, zdt)
-    X = X.astype(sr.ztype.dtype, copy=False)
-    return csr_from_coo(I, J, X, m, n, type=sr.ztype,
-                        sum_duplicates=False)
+    # device-side assembly (VERDICT r2 next #8: no per-device host
+    # loop): the mask's live entries are slab-major in the SAME order
+    # as M's CSR entries, so one device gather aligns the folded
+    # values/presence with M's padded arrays and the device-side lane
+    # filter compacts the result — the output never round-trips as
+    # per-slab Python lists.
+    nzpad = acc.shape[1]
+    slab_of = np.concatenate(
+        [np.full(len(t[0]), p, np.int64) for p, t in enumerate(m_tuples)]
+    ) if m_tuples else np.zeros(0, np.int64)
+    slot_of = np.concatenate(
+        [np.arange(len(t[0]), dtype=np.int64) for t in m_tuples]
+    ) if m_tuples else np.zeros(0, np.int64)
+    flat = jnp.asarray(slab_of * nzpad + slot_of)
+    nz = int(flat.shape[0])
+    vals = jnp.take(acc.reshape(-1), flat).astype(sr.ztype.dtype)
+    pres = jnp.take(npres.reshape(-1), flat) > 0
+    # align with M's padded entry order and filter device-side
+    pad = M.nzmax - nz
+    vals = jnp.concatenate([vals, jnp.zeros((max(pad, 0),), vals.dtype)])
+    pres = jnp.concatenate([pres, jnp.zeros((max(pad, 0),), bool)])
+    from ..sparse.tri import csr_filter_lanes
+    C = CsrMatrix(M.indptr, M.indices, M.rowids, vals[:M.nzmax],
+                  M.nvals, m, n, sr.ztype)
+    return csr_filter_lanes(C, pres[:M.nzmax])
 
 
 def dist_tricount_csr(A, mesh: Optional[Mesh] = None,
@@ -246,3 +267,164 @@ def dist_tricount_csr(A, mesh: Optional[Mesh] = None,
                            mesh=mesh, chunk=chunk)
     vals = np.asarray(C.values)[:C.nvals]
     return int(vals.astype(np.int64).sum())
+
+
+# ---------------------------------------------------------------------------
+# Unmasked distributed SpGEMM (VERDICT round-2 next #8)
+# ---------------------------------------------------------------------------
+
+def _unmasked_prog(mesh: Mesh, sr: Semiring, d: int, blkA: int,
+                   blkB: int, n: int, chunk: int, Lcap: int, kdt, zdt):
+    key = ("unmasked", id(mesh), sr, d, blkA, blkB, n, chunk, Lcap,
+           np.dtype(kdt).name, np.dtype(zdt).name)
+    f = _PROG_CACHE.get(key)
+    if f is not None:
+        return f
+    ident = sr.add.identity
+    big = np.iinfo(np.dtype(kdt)).max
+
+    def local(a_idx, a_loc, a_val, b_rowptr, b_idx, b_val, offs):
+        from ..sparse.spmv import segment_reduce_sorted
+        a_idx, a_loc, a_val = a_idx[0], a_loc[0], a_val[0]
+        b_rowptr, b_idx, b_val = b_rowptr[0], b_idx[0], b_val[0]
+        offs = offs[0]
+        nzA = a_idx.shape[0]
+        nzB = b_idx.shape[0]
+        pidx = jax.lax.axis_index("i")
+        av = gbcast(a_val, sr.xtype)
+        kbuf = jax.lax.pcast(jnp.full((Lcap + 1,), big, kdt),
+                             ("i",), to="varying")
+        zbuf = jax.lax.pcast(jnp.full((Lcap + 1,), ident, zdt),
+                             ("i",), to="varying")
+
+        def step(s, carry):
+            b_rowptr, b_idx, b_val, kbuf, zbuf = carry
+            base = ((pidx - s) % d).astype(jnp.int32) * blkB
+            kk = a_idx - base
+            valid = (kk >= 0) & (kk < blkB)
+            kkc = jnp.clip(kk, 0, blkB - 1)
+            deg = jnp.where(valid, b_rowptr[kkc + 1] - b_rowptr[kkc],
+                            jnp.int32(0))
+            csum = jnp.cumsum(deg)
+            total = csum[-1]
+            off0 = offs[s]
+            nch = (total + chunk - 1) // chunk
+            bv = gbcast(b_val, sr.ytype)
+
+            def chunk_body(c, st):
+                kbuf, zbuf = st
+                t = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+                e = jnp.searchsorted(csum, t, side="right")
+                lv = t < total
+                ec = jnp.minimum(e, nzA - 1)
+                start = csum[ec] - deg[ec]
+                pos = jnp.clip(b_rowptr[kkc[ec]] + (t - start), 0,
+                               nzB - 1)
+                keyv = jnp.where(
+                    lv, a_loc[ec].astype(kdt) * n
+                    + b_idx[pos].astype(kdt), jnp.asarray(big, kdt))
+                z = sr.mult(av[ec], bv[pos]).astype(zdt)
+                tgt = jnp.where(lv, off0 + t, Lcap)
+                return (kbuf.at[tgt].set(keyv, mode="drop"),
+                        zbuf.at[tgt].set(z, mode="drop"))
+
+            kbuf, zbuf = jax.lax.fori_loop(0, nch, chunk_body,
+                                           (kbuf, zbuf))
+            perm = [(k, (k + 1) % d) for k in range(d)]
+            return (jax.lax.ppermute(b_rowptr, "i", perm),
+                    jax.lax.ppermute(b_idx, "i", perm),
+                    jax.lax.ppermute(b_val, "i", perm), kbuf, zbuf)
+
+        _, _, _, kbuf, zbuf = jax.lax.fori_loop(
+            0, d, step, (b_rowptr, b_idx, b_val, kbuf, zbuf))
+        # local ESC: sort lanes by key, fold duplicates with the monoid
+        ks, zs = jax.lax.sort((kbuf[:Lcap], zbuf[:Lcap]), num_keys=1)
+        is_new = jnp.concatenate([jnp.ones((1,), bool),
+                                  ks[1:] != ks[:-1]])
+        live = ks < big
+        seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        folded = segment_reduce_sorted(sr.add.op, ident, zs, seg, Lcap)
+        kuniq = jnp.full((Lcap,), big, kdt).at[
+            jnp.where(is_new & live, seg, Lcap)].set(ks, mode="drop")
+        nuniq = jnp.sum((is_new & live).astype(jnp.int32))
+        return kuniq[None], folded[None], nuniq[None, None]
+
+    f = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("i", None),) * 7,
+        out_specs=(P("i", None), P("i", None), P("i", None))))
+    _PROG_CACHE[key] = f
+    return f
+
+
+def dist_spgemm(sr: Semiring, A, B, mesh: Optional[Mesh] = None,
+                chunk: int = 1 << 18,
+                max_lanes_per_dev: int = 1 << 27) -> CsrMatrix:
+    """UNMASKED C = A *.sr* B over the mesh: A/B row-slabbed, B ring-
+    rotated, per-device product lanes buffered at their exact flop
+    offsets (host-computed symbolic sizing, the ``GB_AxB_flopcount`` /
+    ``GB_AxB_alloc`` analogue), then ONE local sort-dedup fold per
+    device emits the output slab.  Any semiring whose add monoid the
+    associative scan supports (= any associative op incl. UDT-free
+    named monoids)."""
+    mesh = mesh or make_mesh()
+    d = int(np.prod(mesh.devices.shape))
+    A = _as_csr(A)
+    B = _as_csr(B)
+    m, k = A.shape
+    k2, n = B.shape
+    if k != k2:
+        from ..core.errors import DimensionMismatch
+        raise DimensionMismatch(f"inner dims {A.shape} x {B.shape}")
+    DA = dist_csr_from_matrix(A, mesh)
+    DB = dist_csr_from_matrix(B, mesh)
+    blkA, blkB = DA.blk, DB.blk
+
+    # exact per-(device, step) lane offsets from the host patterns
+    Ia, Ja, _ = A.extractTuples()
+    degB = np.zeros(k + 1, np.int64)
+    Ib, _, _ = B.extractTuples()
+    np.add.at(degB, Ib, 1)
+    devA = (Ia // blkA).astype(np.int64)
+    slabB = (Ja // blkB).astype(np.int64)
+    flops_pq = np.zeros((d, d), np.int64)
+    np.add.at(flops_pq, (devA, np.minimum(slabB, d - 1)), degB[Ja])
+    # device p meets B slab q = (p - s) % d at step s
+    offs = np.zeros((d, d + 1), np.int64)
+    for p in range(d):
+        per_step = flops_pq[p, (p - np.arange(d)) % d]
+        offs[p, 1:] = np.cumsum(per_step)
+    Lcap = int(offs[:, -1].max())
+    if Lcap > max_lanes_per_dev:
+        raise MemoryError(
+            f"unmasked distributed SpGEMM needs {Lcap} lanes/device "
+            f"(cap {max_lanes_per_dev}); use dist_masked_spgemm or a "
+            f"bigger mesh")
+    Lcap = pad_to_multiple(max(Lcap, 8), 128)
+
+    kdt = jnp.int32 if (blkA + 1) * n < (1 << 31) else jnp.int64
+    zdt = np.dtype(sr.ztype.dtype)
+    if zdt == np.bool_:
+        zdt = np.uint8
+    sh = NamedSharding(mesh, P("i", None))
+    offs_d = jax.device_put(jnp.asarray(offs.astype(np.int32)), sh)
+    prog = _unmasked_prog(mesh, sr, d, blkA, blkB, n, chunk, Lcap,
+                          kdt, zdt)
+    kuniq, folded, nuniq = prog(DA.indices, DA.locrow, DA.values,
+                                DB.rowptr, DB.indices, DB.values, offs_d)
+    kuniq = np.asarray(kuniq)
+    folded = np.asarray(folded)
+    nuniq = np.asarray(nuniq)[:, 0]
+    Is, Js, Xs = [], [], []
+    for p in range(d):
+        u = int(nuniq[p])
+        keys = kuniq[p, :u].astype(np.int64)
+        Is.append(keys // n + p * blkA)
+        Js.append(keys % n)
+        Xs.append(folded[p, :u])
+    I = np.concatenate(Is) if Is else np.zeros(0, np.int64)
+    J = np.concatenate(Js) if Js else np.zeros(0, np.int64)
+    X = np.concatenate(Xs) if Xs else np.zeros(0, zdt)
+    X = X.astype(sr.ztype.dtype, copy=False)
+    return csr_from_coo(I, J, X, m, n, type=sr.ztype,
+                        sum_duplicates=False)

@@ -106,8 +106,19 @@ def test_dist_tricount_csr(rng):
     assert got == want
 
 
-def test_dist_masked_spgemm_unmasked_error(rng):
-    t = gb.FP32
-    A = rand_csr(rng, 10, 10, 20, t)
-    with pytest.raises(NotImplementedError):
-        par.dist_masked_spgemm(semiring.lxor_land[gb.BOOL], A, A, A)
+def test_dist_masked_spgemm_generic_monoid(rng):
+    """LXOR has no scatter fold; round 3 added the generic sort-fold
+    path, so this now computes instead of raising."""
+    from graphblas_tpu.sparse.esc import csr_spgemm
+    t = gb.BOOL
+    n = 24
+    Ap = np.zeros((n, n), bool)
+    Ap[rng.integers(0, n, 60), rng.integers(0, n, 60)] = True
+    I, J = np.nonzero(Ap)
+    A = sp.CsrMatrix.from_coo(I, J, np.ones(len(I), bool), n, n, type=t)
+    got = par.dist_masked_spgemm(semiring.lxor_land[t], A, A, A)
+    want = csr_spgemm(semiring.lxor_land[t], A, A, mask=A)
+    gI, gJ, gX = got.extractTuples()
+    wI, wJ, wX = want.extractTuples()
+    assert np.array_equal(gI, wI) and np.array_equal(gJ, wJ)
+    assert np.array_equal(np.asarray(gX), np.asarray(wX))

@@ -247,3 +247,137 @@ def test_dist_mxm_valued_mask_and_rectangular(mesh):
     DB = par.distribute(B, mesh, spec=par.P(None, None))
     got2 = par.collect(par.dist_mxm(semiring.plus_times[gb.FP64], D, DB))
     assert got2.shape == (n, 24)
+
+
+# ---------------------------------------------------------------------------
+# round 3: distributed generality (VERDICT round-2 next #8)
+# ---------------------------------------------------------------------------
+
+def _rand_pair(n, density, seed):
+    rng = np.random.default_rng(seed)
+    Ap = rng.random((n, n)) < density
+    Bp = rng.random((n, n)) < density
+    Av = np.where(Ap, rng.normal(size=(n, n)), 0.0)
+    Bv = np.where(Bp, rng.normal(size=(n, n)), 0.0)
+    return Ap, Av, Bp, Bv
+
+
+@pytest.mark.parametrize("srname,ty", [
+    ("plus_times", "FP64"), ("min_plus", "FP64"), ("max_times", "FP64"),
+    ("plus_pair", "INT32"), ("lor_land", "BOOL"),
+    ("lxor_land", "BOOL"),   # LXOR: no scatter fold -> generic sort path
+])
+def test_dist_masked_spgemm_semirings(mesh, srname, ty):
+    from graphblas_tpu.core.semirings import semiring
+    from graphblas_tpu.sparse import CsrMatrix
+    from graphblas_tpu.sparse.esc import csr_spgemm
+    t = getattr(gb, ty)
+    n = 96
+    Ap, Av, Bp, Bv = _rand_pair(n, 0.12, 11)
+    rng = np.random.default_rng(12)
+    Mp = rng.random((n, n)) < 0.3
+    if t is gb.BOOL:
+        Av, Bv = Ap, Bp
+    elif t is gb.INT32:
+        Av = (Av * 5).astype(np.int32)
+        Bv = (Bv * 5).astype(np.int32)
+    I, J = np.nonzero(Ap)
+    A = CsrMatrix.from_coo(I, J, Av[I, J], n, n, type=t)
+    I, J = np.nonzero(Bp)
+    B = CsrMatrix.from_coo(I, J, Bv[I, J], n, n, type=t)
+    I, J = np.nonzero(Mp)
+    M = CsrMatrix.from_coo(I, J, np.ones(len(I), bool), n, n,
+                           type=gb.BOOL)
+    sr = getattr(semiring, srname)[t]
+    got = par.dist_masked_spgemm(sr, A, B, M, mesh=mesh)
+    want = csr_spgemm(sr, A, B, mask=M)
+    gI, gJ, gX = got.extractTuples()
+    wI, wJ, wX = want.extractTuples()
+    assert np.array_equal(gI, wI) and np.array_equal(gJ, wJ)
+    if t is gb.FP64:
+        assert np.allclose(np.asarray(gX), np.asarray(wX), rtol=1e-12)
+    else:
+        assert np.array_equal(np.asarray(gX), np.asarray(wX))
+
+
+def test_dist_spgemm_unmasked(mesh):
+    from graphblas_tpu.core.semirings import semiring
+    from graphblas_tpu.sparse import CsrMatrix
+    from graphblas_tpu.sparse.esc import csr_spgemm
+    n = 80
+    Ap, Av, Bp, Bv = _rand_pair(n, 0.1, 13)
+    I, J = np.nonzero(Ap)
+    A = CsrMatrix.from_coo(I, J, Av[I, J], n, n, type=gb.FP64)
+    I, J = np.nonzero(Bp)
+    B = CsrMatrix.from_coo(I, J, Bv[I, J], n, n, type=gb.FP64)
+    sr = semiring.plus_times[gb.FP64]
+    got = par.dist_spgemm(sr, A, B, mesh=mesh)
+    want = csr_spgemm(sr, A, B)
+    gI, gJ, gX = got.extractTuples()
+    wI, wJ, wX = want.extractTuples()
+    assert np.array_equal(gI, wI) and np.array_equal(gJ, wJ)
+    assert np.allclose(np.asarray(gX), np.asarray(wX), rtol=1e-12)
+
+
+def test_dist_csr_mxv_udt_vector(mesh):
+    """Distributed UDT SpMV: one PageRank-semiring step over the mesh
+    vs the single-chip csr_mxv UDT path (dpagerank2_csr machinery)."""
+    import jax.numpy as jnp
+    from graphblas_tpu.core.ops import BinaryOp
+    from graphblas_tpu.core.semirings import semiring_new
+    from graphblas_tpu.models.pagerank import PAGERANK_TYPE, pagerank_ops
+    from graphblas_tpu.sparse import CsrMatrix
+    from graphblas_tpu.sparse.spmv import csr_mxv
+    n = 64
+    rng = np.random.default_rng(15)
+    Ap = rng.random((n, n)) < 0.15
+    np.fill_diagonal(Ap, False)
+    I, J = np.nonzero(Ap.T)  # A' rows for the vxm form
+    AT = CsrMatrix.from_coo(I, J, np.ones(len(I), bool), n, n,
+                            type=gb.BOOL)
+    pr_mult, _, pr_monoid, _ = pagerank_ops()
+    flip = BinaryOp("PR_FLIP", lambda a, x: pr_mult.fn(x, a),
+                    PAGERANK_TYPE, gb.BOOL, PAGERANK_TYPE)
+    sr = semiring_new(pr_monoid, flip)
+    deg = Ap.sum(1).astype(np.float64)
+    r = {"rank": jnp.asarray(np.full(n, 1.0 / n)),
+         "invdegree": jnp.asarray(1.0 / np.maximum(deg, 1.0))}
+    want, _ = csr_mxv(sr, AT, r)
+    D = par.dist_csr_from_matrix(AT, mesh)
+    got = par.dist_csr_mxv(D, r, sr)
+    assert np.allclose(np.asarray(got["rank"]),
+                       np.asarray(want["rank"]), rtol=1e-12)
+
+
+def test_dist_csr_udt_matrix_values(mesh):
+    """DistCsr holding UDT struct values (round 3): SpMV with a UDT
+    matrix against the single-chip UDT kernel."""
+    import jax.numpy as jnp
+    from graphblas_tpu.core.ops import BinaryOp
+    from graphblas_tpu.core.monoids import monoid_new
+    from graphblas_tpu.core.semirings import semiring_new
+    from graphblas_tpu.core.types import Type
+    from graphblas_tpu.sparse import CsrMatrix
+    from graphblas_tpu.sparse.spmv import csr_mxv
+    W = Type.udt("wt", a=gb.FP64, b=gb.FP64)
+    n = 48
+    rng = np.random.default_rng(16)
+    Ap = rng.random((n, n)) < 0.2
+    I, J = np.nonzero(Ap)
+    vals = {"a": rng.normal(size=len(I)), "b": rng.normal(size=len(I))}
+    A = CsrMatrix.from_coo(I, J, vals, n, n, type=W,
+                           sum_duplicates=False)
+    mult = BinaryOp("WMULT", lambda e, x: {
+        "a": e["a"] * x, "b": e["b"] + x}, W, W, gb.FP64)
+    add = BinaryOp("WADD", lambda x, y: {
+        "a": x["a"] + y["a"], "b": jnp.maximum(x["b"], y["b"])}, W, W, W)
+    mon = monoid_new(add, {"a": 0.0, "b": -np.inf})
+    sr = semiring_new(mon, mult)
+    x = jnp.asarray(rng.normal(size=n))
+    want, _ = csr_mxv(sr, A, x)
+    D = par.dist_csr_from_matrix(A, mesh)
+    got = par.dist_csr_mxv(D, x, sr)
+    assert np.allclose(np.asarray(got["a"]), np.asarray(want["a"]),
+                       rtol=1e-12)
+    assert np.allclose(np.asarray(got["b"]), np.asarray(want["b"]),
+                       rtol=1e-12)

@@ -42,7 +42,7 @@ def test_spmm_semirings(srname):
     sr = getattr(semiring, srname)[gb.FP64]
     C = gb.Matrix.new(gb.FP64, 60, 17)
     got = gb.mxm(C, None, None, sr, A, B)
-    assert last_axb_method() == "spmm:gather"
+    assert last_axb_method() == "spmm:ell"
     # oracle through the bitmap backend
     Abm = A.to_matrix()
     want = gb.mxm(gb.Matrix.new(gb.FP64, 60, 17), None, None, sr, Abm, B)
@@ -62,7 +62,7 @@ def test_spmm_holes_mask_accum_transpose():
     C0 = gb.Matrix.from_dense(rng.normal(size=(40, 9)), gb.FP64)
     d = gb.Descriptor(tran0=True, replace=True)
     got = gb.mxm(C0, M, gb.binary.plus[gb.FP64], sr, A, B, d)
-    assert last_axb_method() == "spmm:gather"
+    assert last_axb_method() == "spmm:ell"
     want = gb.mxm(C0, M, gb.binary.plus[gb.FP64], sr, A.to_matrix(), B, d)
     assert np.array_equal(got.pattern_np(), want.pattern_np())
     gd, wd = got.to_dense(), want.to_dense()
