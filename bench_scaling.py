@@ -80,11 +80,16 @@ def main():
         d0, dN = sizes[0], sizes[-1]
         eff_tri = results[d0][0] / (dN * results[dN][0])
         eff_pr = results[d0][1] / (dN * results[dN][1])
+        eff_tric = results[d0][2] / (dN * results[dN][2])
         print(json.dumps({
             "metric": "strong_scaling_efficiency",
-            "value": round(min(eff_tri, eff_pr), 3),
+            "value": round(min(eff_tri, eff_pr, eff_tric), 3),
             "unit": f"t(1)/({dN}*t({dN})), 1.0 = perfect",
-            "vs_baseline": round(min(eff_tri, eff_pr) / 0.7, 3),
+            "vs_baseline": round(min(eff_tri, eff_pr, eff_tric) / 0.7, 3),
+            "per_algorithm": {"tricount": round(eff_tri, 3),
+                              "pagerank": round(eff_pr, 3),
+                              "tricount_csr": round(eff_tric, 3)},
+            "north_star": 0.7,
         }))
 
 

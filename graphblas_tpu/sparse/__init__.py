@@ -15,7 +15,8 @@ from .algorithms import bfs_csr, pagerank_csr
 from .pallas_bsr import (bsr_masked_mm_pallas, bsr_masked_count_pallas,
                          tricount_bsr_pallas, masked_mxm)
 from .esc import csr_spgemm
-from .tri import (masked_pair_counts, tricount_esc, ktruss_esc,
+from .tri import (masked_pair_counts, tricount_esc, tricount_auto,
+                  tricount_prep_csr, ktruss_esc,
                   allktruss_esc, csr_filter_lanes, csr_tril, csr_triu)
 from .mask import csr_accum_mask, csr_clear
 from .assign import (csr_subref, csr_extract, csr_assign, csr_subassign,
@@ -40,7 +41,8 @@ __all__ = [
     "csr_ewise_mult", "csr_apply", "csr_select", "csr_reduce_rows",
     "csr_reduce_scalar", "bfs_csr", "pagerank_csr",
     "csr_spgemm", "csr_accum_mask", "csr_clear",
-    "masked_pair_counts", "tricount_esc", "ktruss_esc", "allktruss_esc",
+    "masked_pair_counts", "tricount_esc", "tricount_auto",
+    "tricount_prep_csr", "ktruss_esc", "allktruss_esc",
     "csr_filter_lanes", "csr_tril", "csr_triu",
     "csr_subref", "csr_extract", "csr_assign", "csr_subassign",
     "csr_assign_scalar", "csr_subassign_scalar",

@@ -211,6 +211,13 @@ def _csr_mxv_densex_jit(add_name: str, sr: Semiring, nrows: int, zdtype,
         nz = z.shape[0]
         y = cs0[jnp.minimum(indptr[1:], nz)] - \
             cs0[jnp.minimum(indptr[:-1], nz)]
+    elif nm in ("TIMES", "MAX", "MIN", "LOR", "LAND", "LXOR", "EQ"):
+        # named monoids take the hardware segment reduction: the
+        # log-depth associative scan below unrolls ~log2(nzmax) HLO
+        # levels, which at scale-18 sizes costs MINUTES of compile and
+        # runs far slower than one segment op (round-3 scale runs)
+        seg = jnp.minimum(rows, nrows)
+        y = segment_reduce(nm, z, seg, nrows + 1, identity)[:nrows]
     else:
         seg = jnp.minimum(rows, nrows)
         y = segment_reduce_sorted(sr.add.op, identity, z, seg,
@@ -327,6 +334,11 @@ def _csr_mxv_sorted_jit(add_name: str, sr: Semiring, nrows: int, zdtype,
         cs0 = jnp.concatenate([jnp.zeros((1,), wide), cs])
         y = cs0[jnp.minimum(indptr[1:], E)] - \
             cs0[jnp.minimum(indptr[:-1], E)]
+    elif nm in ("TIMES", "MAX", "MIN", "LOR", "LAND", "LXOR", "EQ"):
+        live = rows_csr < nrows
+        z_csr = jnp.where(live, z_csr, jnp.asarray(identity, z_csr.dtype))
+        seg = jnp.minimum(rows_csr, nrows)
+        y = segment_reduce(nm, z_csr, seg, nrows + 1, identity)[:nrows]
     else:
         live = rows_csr < nrows
         z_csr = jnp.where(live, z_csr, jnp.asarray(identity, z_csr.dtype))

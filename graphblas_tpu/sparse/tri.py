@@ -30,8 +30,8 @@ from .container import CsrMatrix
 from .esc import _bucket
 
 __all__ = ["masked_pair_counts", "tricount_esc", "tricount_auto",
-           "ktruss_esc", "allktruss_esc", "csr_filter_lanes", "csr_tril",
-           "csr_triu"]
+           "tricount_prep_csr", "ktruss_esc", "allktruss_esc",
+           "csr_filter_lanes", "csr_tril", "csr_triu"]
 
 
 #: lanes per dispatch cap: the sort-merge kernel holds ~3 int64 +
@@ -340,3 +340,36 @@ def allktruss_esc(A: CsrMatrix, kmax: Optional[int] = None,
             break
         k += 1
     return out
+
+
+def tricount_prep_csr(A: CsrMatrix):
+    """Degree-ascending relabel + L/U split (the reference's
+    ``tri_prep.c`` / ``tricount.c`` prep): returns (L, U) of the
+    permuted graph.  For power-law graphs this shrinks the SandiaDot
+    wedge count by orders of magnitude (each edge is oriented from the
+    lower-degree endpoint), which is what makes large-scale counting
+    tractable — measured at scale 18/20 in PERF.md."""
+    hp = A._options.get("host_pattern")
+    if hp is not None:
+        I = np.asarray(hp[0][:A.nvals])
+        J = np.asarray(hp[1][:A.nvals])
+    else:
+        I, J, _ = A.extractTuples()
+        I, J = np.asarray(I), np.asarray(J)
+    n = A.nrows
+    deg = np.bincount(I, minlength=n)
+    perm = np.argsort(deg, kind="stable")     # old ids in new order
+    rank = np.empty(n, np.int64)
+    rank[perm] = np.arange(n)
+    In, Jn = rank[I], rank[J]
+    lo = In > Jn
+    up = In < Jn
+    ones = np.ones(int(lo.sum()), bool)
+    L = CsrMatrix.from_coo(In[lo], Jn[lo], ones, n, n,
+                           type=A.type if A.type.is_bool else A.type,
+                           sum_duplicates=False)
+    ones = np.ones(int(up.sum()), bool)
+    U = CsrMatrix.from_coo(In[up], Jn[up], ones, n, n,
+                           type=A.type if A.type.is_bool else A.type,
+                           sum_duplicates=False)
+    return L, U

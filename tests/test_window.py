@@ -89,3 +89,25 @@ def test_window_plan_cache():
     p1 = W.build_window_plan(A, A, A)
     p2 = W.build_window_plan(A, A, A)
     assert p1 is p2
+
+
+def test_tricount_prep_csr():
+    import graphblas_tpu.sparse as S
+    rng = np.random.default_rng(9)
+    n = 300
+    i = rng.integers(0, n, 2500)
+    j = rng.integers(0, n, 2500)
+    keep = i != j
+    lin = np.unique(np.concatenate([i[keep] * n + j[keep],
+                                    j[keep] * n + i[keep]]))
+    I, J = lin // n, lin % n
+    A = sp.CsrMatrix.from_coo(I, J, np.ones(len(I), bool), n, n,
+                              type=gb.BOOL, sum_duplicates=False)
+    L, U = S.tricount_prep_csr(A)
+    got = S.tricount_esc(L, U)
+    D = np.zeros((n, n))
+    D[I, J] = 1
+    want = int(round(np.trace(D @ D @ D))) // 6
+    assert got == want
+    # prep orients every edge exactly once
+    assert L.nvals == len(I) // 2 and U.nvals == len(I) // 2
