@@ -38,8 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.semirings import Semiring
 from ..core.types import cast as gbcast
 from ..sparse.container import CsrMatrix, csr_from_coo
-from ..sparse.esc import _bucket
-from .dist_csr import DistCsr, dist_csr_from_matrix
+from .dist_csr import dist_csr_from_matrix
 from .mesh import make_mesh, pad_to_multiple
 
 __all__ = ["dist_masked_spgemm", "dist_spgemm", "dist_tricount_csr"]

@@ -15,6 +15,11 @@ from .algorithms import bfs_csr, pagerank_csr
 from .pallas_bsr import (bsr_masked_mm_pallas, bsr_masked_count_pallas,
                          tricount_bsr_pallas, masked_mxm)
 from .esc import csr_spgemm
+from .window import (build_window_plan, build_band_plan,
+                     window_masked_mm, window_masked_count_sum)
+from .pallas_window import (window_count_partials,
+                            window_masked_mm_pallas,
+                            tricount_band_partials)
 from .tri import (masked_pair_counts, tricount_esc, tricount_auto,
                   tricount_prep_csr, ktruss_esc,
                   allktruss_esc, csr_filter_lanes, csr_tril, csr_triu)
@@ -41,6 +46,9 @@ __all__ = [
     "csr_ewise_mult", "csr_apply", "csr_select", "csr_reduce_rows",
     "csr_reduce_scalar", "bfs_csr", "pagerank_csr",
     "csr_spgemm", "csr_accum_mask", "csr_clear",
+    "build_window_plan", "build_band_plan", "window_masked_mm",
+    "window_masked_count_sum", "window_count_partials",
+    "window_masked_mm_pallas", "tricount_band_partials",
     "masked_pair_counts", "tricount_esc", "tricount_auto",
     "tricount_prep_csr", "ktruss_esc", "allktruss_esc",
     "csr_filter_lanes", "csr_tril", "csr_triu",

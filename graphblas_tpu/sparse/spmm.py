@@ -29,7 +29,7 @@ unlocks a ~k× higher MAC rate at identical traffic per nnz.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -26,8 +26,8 @@ from graphblas_tpu.core.semirings import semiring   # noqa: E402
 from graphblas_tpu.models.rmat import rmat_edges    # noqa: E402
 from graphblas_tpu.sparse import CsrMatrix          # noqa: E402
 from graphblas_tpu.sparse import csr_mxv            # noqa: E402
-from graphblas_tpu.sparse.tri import (csr_tril, csr_triu,   # noqa: E402
-                                      tricount_esc, tricount_prep_csr)
+from graphblas_tpu.sparse.tri import (tricount_esc,        # noqa: E402
+                                      tricount_prep_csr)
 
 
 def devmem():
