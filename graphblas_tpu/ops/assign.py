@@ -85,6 +85,11 @@ def assign(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     the pair-key form (dimension up to 2^60); a CscMatrix runs the CSR
     form in the transposed frame (I/J swapped).
     """
+    from .containers import require_container
+    require_container(C, "assign output C")
+    require_container(M, "assign mask", none_ok=True)
+    if not scalar:
+        require_container(A, "assign input A")
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
     if isinstance(C, HyperMatrix):

@@ -147,10 +147,19 @@ def _dispatch_ewise(C, M, accum, op, A, B, d, union):
     return accum_mask(C, M, T, accum, d)
 
 
+def _require_ewise_args(C, M, A, B, what):
+    from .containers import require_container
+    require_container(C, f"{what} output C")
+    require_container(M, f"{what} mask", none_ok=True)
+    require_container(A, f"{what} input A")
+    require_container(B, f"{what} input B")
+
+
 @counters.counted("eWiseAdd")
 def eWiseAdd(C, M, accum: Optional[BinaryOp], op: BinaryOp,
              A, B, desc: Optional[Descriptor] = None):
     """C<M> = accum(C, A+B): set-union merge (reference ``GrB_eWiseAdd``)."""
+    _require_ewise_args(C, M, A, B, "eWiseAdd")
     d = desc_of(desc)
     op = getattr(op, "mult", op)  # semiring/monoid accepted per spec
     op = getattr(op, "op", op)
@@ -161,6 +170,7 @@ def eWiseAdd(C, M, accum: Optional[BinaryOp], op: BinaryOp,
 def eWiseMult(C, M, accum: Optional[BinaryOp], op: BinaryOp,
               A, B, desc: Optional[Descriptor] = None):
     """C<M> = accum(C, A.*B): intersection merge (``GrB_eWiseMult``)."""
+    _require_ewise_args(C, M, A, B, "eWiseMult")
     d = desc_of(desc)
     op = getattr(op, "mult", op)
     op = getattr(op, "op", op)
@@ -175,6 +185,10 @@ def apply(C, M, accum: Optional[BinaryOp], op: UnaryOp, A,
     The reference's shallow-copy trick (``GB_shallow_op.c``) is free here:
     the pattern array is reused by reference, only values are mapped.
     """
+    from .containers import require_container
+    require_container(C, "apply output C")
+    require_container(M, "apply mask", none_ok=True)
+    require_container(A, "apply input A")
     d = desc_of(desc)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
@@ -231,6 +245,10 @@ def _index_grids(shape):
 def select(C, M, accum: Optional[BinaryOp], op: SelectOp, A,
            thunk: Any = 0, desc: Optional[Descriptor] = None):
     """C<M> = accum(C, select(A, thunk)) (reference ``GxB_select``)."""
+    from .containers import require_container
+    require_container(C, "select output C")
+    require_container(M, "select mask", none_ok=True)
+    require_container(A, "select input A")
     d = desc_of(desc)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix

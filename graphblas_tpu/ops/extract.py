@@ -35,6 +35,10 @@ def extract(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     ``A`` with a bitmap ``C`` extracts sparsely then lands the
     (region-sized) result on the bitmap — A itself is never densified.
     """
+    from .containers import require_container
+    require_container(C, "extract output C")
+    require_container(M, "extract mask", none_ok=True)
+    require_container(A, "extract input A")
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
     from .containers import to_csr_operand

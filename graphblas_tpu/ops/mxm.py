@@ -379,6 +379,11 @@ def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     engine (ESC SpGEMM, O(nnz) memory — no densification); a bitmap
     ``C`` uses the dense engines.  Engine choice within each backend is
     the flop cost model (``choose_axb_method``)."""
+    from .containers import require_container
+    require_container(C, "mxm output C")
+    require_container(M, "mxm mask", none_ok=True)
+    require_container(A, "mxm input A")
+    require_container(B, "mxm input B")
     d = desc_of(desc)
     from ..sparse.container import CsrMatrix
     from ..sparse.hyper import (HyperMatrix, hyper_accum_mask,
@@ -465,6 +470,11 @@ def mxv(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
     with no transpose routes to the edge-parallel sparse kernel; a
     SparseVec ``w`` runs A*u as a 1-column hypersparse SpGEMM — the
     reference's vector-is-a-matrix identity — at any dimension."""
+    from .containers import require_container
+    require_container(w, "mxv output w")
+    require_container(m, "mxv mask", none_ok=True)
+    require_container(A, "mxv input A")
+    require_container(u, "mxv input u")
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.vector import SparseVec
     d = desc_of(desc)
@@ -515,6 +525,11 @@ def vxm(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
         semiring: Semiring, u: Vector, A: Matrix,
         desc: Optional[Descriptor] = None) -> Vector:
     """w<m> = accum(w, u'*A) (reference ``GrB_vxm``; INP1 transposes A)."""
+    from .containers import require_container
+    require_container(w, "vxm output w")
+    require_container(m, "vxm mask", none_ok=True)
+    require_container(u, "vxm input u")
+    require_container(A, "vxm input A")
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.vector import SparseVec
     d = desc_of(desc)

@@ -46,6 +46,10 @@ def reduce_to_vector(w: Vector, m: Optional[Vector],
     segment-reduce (``csr_reduce_rows``), hypersparse through the
     present-row fold (``hyper_reduce_vector``) scattered into the dense
     ``w`` (which bounds nrows at the Vector's own capacity)."""
+    from .containers import require_container
+    require_container(w, "reduce output w")
+    require_container(m, "reduce mask", none_ok=True)
+    require_container(A, "reduce input A")
     d = desc_of(desc)
     mon = _as_monoid(op)
     from ..sparse.container import CsrMatrix, CscMatrix
@@ -114,6 +118,8 @@ def reduce_to_scalar(accum: Optional[BinaryOp], op: Union[Monoid, BinaryOp],
 
     Empty A reduces to the monoid identity (``GB_reduce_to_scalar.c:35``).
     """
+    from .containers import require_container
+    require_container(A, "reduce input A")
     mon = _as_monoid(op)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix

@@ -39,6 +39,10 @@ def transpose(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
               op: Optional[UnaryOp] = None) -> Matrix:
     """C<M> = accum(C, A').  With INP0=TRAN this is C<M> = accum(C, A)
     (the double-transpose shortcut, ``GrB_transpose.c``)."""
+    from .containers import require_container
+    require_container(C, "transpose output C")
+    require_container(M, "transpose mask", none_ok=True)
+    require_container(A, "transpose input A")
     d = desc_of(desc)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
@@ -107,6 +111,11 @@ def kron(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
          op: BinaryOp, A: Matrix, B: Matrix,
          desc: Optional[Descriptor] = None) -> Matrix:
     """C<M> = accum(C, kron(A,B)) with multiply op (``GxB_kron``)."""
+    from .containers import require_container
+    require_container(C, "kron output C")
+    require_container(M, "kron mask", none_ok=True)
+    require_container(A, "kron input A")
+    require_container(B, "kron input B")
     d = desc_of(desc)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix

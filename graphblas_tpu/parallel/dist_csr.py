@@ -227,6 +227,9 @@ def dist_csr_mxv(D: DistCsr, x, sr: Optional[Semiring] = None):
         xfill = jnp.zeros((1,), x.dtype)
     x_ext = jnp.concatenate([x, xfill])
     prog = _mxv_prog(D.mesh, D.blk, sr)
+    from . import introspect
+    introspect.record("dist_csr_mxv", prog,
+                      (D.rowptr, D.indices, D.locrow, D.values, x_ext))
     y = prog(D.rowptr, D.indices, D.locrow, D.values, x_ext)
     return y.reshape(-1)[:D.nrows]
 

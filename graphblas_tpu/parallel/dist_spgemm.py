@@ -87,9 +87,9 @@ _PROG_CACHE = {}
 
 
 def _spgemm_prog(mesh: Mesh, sr: Semiring, d: int, blkA: int, blkB: int,
-                 n: int, chunk: int, kdt, zdt):
+                 n: int, chunk: int, kdt, zdt, maxE: int):
     key = (id(mesh), sr, d, blkA, blkB, n, chunk, np.dtype(kdt).name,
-           np.dtype(zdt).name)
+           np.dtype(zdt).name, maxE)
     f = _PROG_CACHE.get(key)
     if f is not None:
         return f
@@ -98,11 +98,17 @@ def _spgemm_prog(mesh: Mesh, sr: Semiring, d: int, blkA: int, blkB: int,
     ident = sr.add.identity
     big = np.iinfo(np.dtype(kdt)).max
 
-    def local(a_idx, a_loc, a_val, b_rowptr, b_idx, b_val, m_keys):
+    def local(a_idx, a_loc, a_val, offs, b_rowptr, b_idx, b_val,
+              m_keys):
+        # a_* are K-SORTED local entries; offs[s] bounds the contiguous
+        # range whose k falls in B slab s, so each ring step touches
+        # O(maxE) entries, not O(nzA) — the weak-scaling contract
+        # (each device does O(local flops + maxE·d) total work, flat
+        # at fixed per-device size; round-3's full rescan was O(nzA·d))
         a_idx, a_loc, a_val = a_idx[0], a_loc[0], a_val[0]
+        offs = offs[0]
         b_rowptr, b_idx, b_val = b_rowptr[0], b_idx[0], b_val[0]
         m_keys = m_keys[0]
-        nzA = a_idx.shape[0]
         nzB = b_idx.shape[0]
         nzM = m_keys.shape[0]
         pidx = jax.lax.axis_index("i")
@@ -116,9 +122,17 @@ def _spgemm_prog(mesh: Mesh, sr: Semiring, d: int, blkA: int, blkB: int,
 
         def step(s, carry):
             b_rowptr, b_idx, b_val, acc, npres = carry
-            base = ((pidx - s) % d).astype(jnp.int32) * blkB
-            kk = a_idx - base
-            valid = (kk >= 0) & (kk < blkB)
+            slab = ((pidx - s) % d).astype(jnp.int32)
+            base = slab * blkB
+            lo = offs[slab]
+            cnt = offs[slab + 1] - lo
+            ai = jax.lax.dynamic_slice(a_idx, (lo,), (maxE,))
+            al = jax.lax.dynamic_slice(a_loc, (lo,), (maxE,))
+            avs = jax.tree_util.tree_map(
+                lambda v: jax.lax.dynamic_slice(v, (lo,), (maxE,)), av)
+            live = jnp.arange(maxE, dtype=jnp.int32) < cnt
+            kk = ai - base
+            valid = live & (kk >= 0) & (kk < blkB)
             kkc = jnp.clip(kk, 0, blkB - 1)
             # int32 lane arithmetic: a 64-bit cumsum inside shard_map
             # compiles to an emulated (hi,lo) reduce-window that blows
@@ -138,11 +152,11 @@ def _spgemm_prog(mesh: Mesh, sr: Semiring, d: int, blkA: int, blkB: int,
                 t = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
                 e = jnp.searchsorted(csum, t, side="right")
                 lv = t < total
-                ec = jnp.minimum(e, nzA - 1)
+                ec = jnp.minimum(e, maxE - 1)
                 start = csum[ec] - deg[ec]
                 l = t - start
                 pos = jnp.clip(b_rowptr[kkc[ec]] + l, 0, nzB - 1)
-                i_loc = a_loc[ec]
+                i_loc = al[ec]
                 j = b_idx[pos]
                 keyv = jnp.where(
                     lv, i_loc.astype(kdt) * n + j.astype(kdt),
@@ -150,7 +164,7 @@ def _spgemm_prog(mesh: Mesh, sr: Semiring, d: int, blkA: int, blkB: int,
                 idx = jnp.searchsorted(m_keys, keyv)
                 idxc = jnp.minimum(idx, nzM - 1)
                 member = (m_keys[idxc] == keyv) & lv
-                z = sr.mult(av[ec], bv[pos])
+                z = sr.mult(avs[ec], bv[pos])
                 z = jnp.where(member, z.astype(zdt),
                               jnp.asarray(ident, zdt))
                 tgt = jnp.where(member, idxc, nzM)
@@ -186,10 +200,66 @@ def _spgemm_prog(mesh: Mesh, sr: Semiring, d: int, blkA: int, blkB: int,
 
     f = jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P("i", None),) * 7,
+        in_specs=(P("i", None),) * 8,
         out_specs=(P("i", None), P("i", None))))
     _PROG_CACHE[key] = f
     return f
+
+
+def _ksorted_slabs(A: CsrMatrix, d: int, blkA: int, blkB: int,
+                   degB: np.ndarray):
+    """Host plan for the ring schedule: per-device A entries sorted by
+    contraction column k, with per-(device, B-slab) offsets and flop
+    counts.  Returns (a_idx, a_loc, a_val, offs[d, d+1], maxE,
+    max_step_flops) — the static shapes that bound each ring step."""
+    from ..sparse.esc import _bucket
+    I, J, X = A.extractTuples()
+    I = np.asarray(I).astype(np.int64)
+    J = np.asarray(J).astype(np.int64)
+    tmap = jax.tree_util.tree_map
+    X = tmap(np.asarray, X)
+    dev = I // blkA
+    loc = (I % blkA).astype(np.int32)
+    order = np.lexsort((I, J, dev))
+    I, J, loc, dev = I[order], J[order], loc[order], dev[order]
+    X = tmap(lambda v: v[order], X)
+    slab = J // blkB
+    offs = np.zeros((d, d + 1), np.int32)
+    counts = np.zeros((d, d), np.int64)
+    flops = np.zeros((d, d), np.int64)
+    dstart = np.searchsorted(dev, np.arange(d + 1))
+    fl = degB[J]
+    flc = np.concatenate([[0], np.cumsum(fl)])
+    for p in range(d):
+        s0, s1 = dstart[p], dstart[p + 1]
+        cuts = s0 + np.searchsorted(slab[s0:s1], np.arange(d + 1))
+        counts[p] = np.diff(cuts)
+        flops[p] = flc[cuts[1:]] - flc[cuts[:-1]]
+        offs[p, 1:] = np.cumsum(counts[p])
+    maxE = _bucket(max(int(counts.max()) if counts.size else 1, 8), 128)
+    # rows padded by maxE so the per-step dynamic_slice never clamps
+    # (a clamped start would misalign the live mask with the entries)
+    nzpad = pad_to_multiple(
+        max(int((dstart[1:] - dstart[:-1]).max()) if d else 8, 8),
+        128) + maxE
+    ncols = A.ncols
+    a_idx = np.full((d, nzpad), ncols, np.int32)
+    a_loc = np.full((d, nzpad), blkA, np.int32)
+
+    def _stage(dt):
+        return np.uint8 if np.dtype(dt) == np.bool_ else np.dtype(dt)
+    a_val = tmap(lambda v: np.zeros((d, nzpad), _stage(v.dtype)), X)
+    for p in range(d):
+        s0, s1 = dstart[p], dstart[p + 1]
+        kcnt = s1 - s0
+        a_idx[p, :kcnt] = J[s0:s1]
+        a_loc[p, :kcnt] = loc[s0:s1]
+
+        def fill(dst, src):
+            dst[p, :kcnt] = src[s0:s1]
+        tmap(fill, a_val, X)
+    return (a_idx, a_loc, a_val, offs, maxE,
+            int(flops.max()) if flops.size else 0)
 
 
 def dist_masked_spgemm(sr: Semiring, A, B, M,
@@ -212,19 +282,41 @@ def dist_masked_spgemm(sr: Semiring, A, B, M,
     if M.shape != (m, n):
         from ..core.errors import DimensionMismatch
         raise DimensionMismatch(f"mask {M.shape} vs product {(m, n)}")
-    DA = dist_csr_from_matrix(A, mesh)
     DB = dist_csr_from_matrix(B, mesh)
-    blkA, blkB = DA.blk, DB.blk
+    blkA = pad_to_multiple(max(m, 1), d) // d
+    blkB = DB.blk
     kdt = jnp.int32 if (blkA + 1) * n < (1 << 31) else jnp.int64
     m_keys_np, m_tuples = _slab_mask_keys(M, d, blkA, kdt)
     sh = NamedSharding(mesh, P("i", None))
     m_keys = jax.device_put(jnp.asarray(m_keys_np), sh)
 
+    # host ring plan: per-device k-sorted A entries + per-slab offsets
+    # (each step touches O(maxE) entries, and the chunk is sized to the
+    # true max per-step flop count, not a fixed 2^18)
+    degB = np.diff(np.asarray(B.indptr)).astype(np.int64)
+    if degB.shape[0] < k:
+        degB = np.concatenate([degB, np.zeros(k - degB.shape[0],
+                                              np.int64)])
+    from ..sparse.esc import _bucket
+    a_idx_np, a_loc_np, a_val_np, offs_np, maxE, max_fl = \
+        _ksorted_slabs(A, d, blkA, blkB, degB)
+    chunk = min(chunk, _bucket(max(max_fl, 1 << 12)))
+    tmap = jax.tree_util.tree_map
+    a_idx = jax.device_put(jnp.asarray(a_idx_np), sh)
+    a_loc = jax.device_put(jnp.asarray(a_loc_np), sh)
+    a_val = tmap(lambda v: jax.device_put(jnp.asarray(v), sh), a_val_np)
+    offs = jax.device_put(jnp.asarray(offs_np), sh)
+
     zdt = np.dtype(sr.ztype.dtype)
     if zdt == np.bool_:
         zdt = np.uint8  # staged; cast back at assembly
-    prog = _spgemm_prog(mesh, sr, d, blkA, blkB, n, chunk, kdt, zdt)
-    acc, npres = prog(DA.indices, DA.locrow, DA.values,
+    prog = _spgemm_prog(mesh, sr, d, blkA, blkB, n, chunk, kdt, zdt,
+                        maxE)
+    from . import introspect
+    introspect.record("dist_masked_spgemm", prog,
+                      (a_idx, a_loc, a_val, offs,
+                       DB.rowptr, DB.indices, DB.values, m_keys))
+    acc, npres = prog(a_idx, a_loc, a_val, offs,
                       DB.rowptr, DB.indices, DB.values, m_keys)
 
     # device-side assembly (VERDICT r2 next #8: no per-device host

@@ -220,9 +220,13 @@ def masked_pair_counts(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
 def tricount_esc(L: CsrMatrix, U: Optional[CsrMatrix] = None,
                  chunk: int = _LANE_CAP) -> int:
     """Sandia triangle count at CSR scale: ntri = sum over (i,j) in L of
-    (L·U)[i,j]; with ``U=None`` uses the pure-Sandia form (L·L).<L."""
+    (L·U)[i,j]; with ``U=None`` uses the pure-Sandia form (L·L).<L.
+    Routes through the heavy/light bitdot split (:mod:`bitdot`) so
+    power-law graphs run at bitmap speed, any-structure residual at
+    sort-merge speed."""
+    from .bitdot import masked_pair_counts_auto
     B = U if U is not None else L
-    counts = masked_pair_counts(L, L, B, chunk)
+    counts = masked_pair_counts_auto(L, L, B, chunk)
     return int(jnp.sum(counts.astype(jnp.int64)))
 
 
@@ -306,11 +310,12 @@ def ktruss_esc(A: CsrMatrix, k: int, chunk: int = _LANE_CAP,
     last = A.nvals
     if last == 0:
         return A, jnp.zeros((A.nzmax,), jnp.int32), 0
+    from .bitdot import masked_pair_counts_auto
     nsteps = 0
     counts = jnp.zeros((A.nzmax,), jnp.int32)
     while nsteps < max_iters:
         nsteps += 1
-        counts = masked_pair_counts(A, A, A, chunk)
+        counts = masked_pair_counts_auto(A, A, A, chunk)
         keep = counts >= (k - 2)
         B = csr_filter_lanes(A, keep)
         if B.nvals == last:
