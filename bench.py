@@ -85,6 +85,26 @@ def main():
     want = tri.tricount_esc(L, U)
     assert ntri == want, f"tricount mismatch: {ntri} != {want}"
 
+    # ---- the UNSTRUCTURED regime (ADVICE r3: the bench file must show
+    # both): power-law R-MAT through the bitdot hybrid engine ----
+    from graphblas_tpu.models.rmat import rmat_edges
+    rs = 16
+    rn = 1 << rs
+    RI, RJ = rmat_edges(rs, 16, seed=7)
+    keep = RI != RJ
+    RI, RJ = RI[keep], RJ[keep]
+    rlin = np.unique(np.concatenate([RI * rn + RJ, RJ * rn + RI]))
+    RI, RJ = rlin // rn, rlin % rn
+    RA = sp.CsrMatrix.from_coo(RI, RJ, np.ones(len(RI), bool), rn, rn,
+                               type=gb.BOOL, sum_duplicates=False)
+    RL, RU = tri.tricount_prep_csr(RA)
+    rtri = tri.tricount_esc(RL, RU)          # warm the hybrid plan
+    t0 = time.perf_counter()
+    rtri2 = tri.tricount_esc(RL, RU)
+    r_elapsed = time.perf_counter() - t0
+    assert rtri == rtri2
+    rmat_engine = last_axb_method()
+
     rate = nedges / elapsed
     baseline = 5.62e6  # edges/s, Demo/Output/tri_demo.out:82 (dot method)
     # chip-relative accounting: device work = the real tile-triple
@@ -106,8 +126,21 @@ def main():
         "device_gflops": device_flops / elapsed / 1e9,
         "useful_gflops": useful / elapsed / 1e9,
         "mfu_int8": mfu,
+        "mfu_useful": useful / elapsed / 394e12,
+        "structure_note": ("mfu_int8 counts scheduled tile MACs on the "
+                           "banded Wathen graph; the rmat_* fields show "
+                           "the unstructured power-law regime"),
         "api_call_s": api_call,
         "api_edges_per_s": nedges / api_call,
+        "rmat_scale": rs,
+        "rmat_nnz": len(RI),
+        "rmat_ntri": rtri,
+        "rmat_engine": rmat_engine,
+        "rmat_nnz_per_s": len(RI) / r_elapsed,
+        "rmat_edges_per_s": (len(RI) // 2) / r_elapsed,
+        # reference CPU on its hardest power-law GraphChallenge entries:
+        # 0.09-0.14 M edges/s (Extras/tri/tri_grb_results.m)
+        "rmat_vs_ref_powerlaw": ((len(RI) // 2) / r_elapsed) / 0.14e6,
     }))
 
 

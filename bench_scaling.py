@@ -117,6 +117,18 @@ def run_weak(scale0: int, devices, reps: int):
         t_tri = time_it(tric, reps)
         tri_stats = introspect.program_stats("dist_masked_spgemm")
 
+        # exact masked-SpGEMM flop count (GB_AxB_flopcount): tricount
+        # work is SUPERLINEAR in graph size on power-law graphs (hub
+        # second moment), so weak scaling must be judged on flop RATE
+        # flatness, not wall time at fixed nnz/device
+        hp = A._options.get("host_pattern")
+        I = np.asarray(hp[0][:A.nvals])
+        J = np.asarray(hp[1][:A.nvals])
+        lo = I > J
+        degL = np.bincount(I[lo], minlength=n).astype(np.int64)
+        indegL = np.bincount(J[lo], minlength=n).astype(np.int64)
+        tri_flops = int((degL * indegL).sum())
+
         # analytic ring model: each device forwards its B slab d-1
         # times; payload per step = the B slab arrays
         L = csr_tril(A)
@@ -128,6 +140,9 @@ def run_weak(scale0: int, devices, reps: int):
             "ntri": ntri,
             "mxv_s": round(t_mxv, 4),
             "tricount_csr_s": round(t_tri, 4),
+            "tri_flops": tri_flops,
+            "mxv_agg_nnz_per_s": round(nnz / t_mxv),
+            "tri_agg_flops_per_s": round(tri_flops / t_tri),
             "slab_bytes_per_device": slab_bytes(D),
             "ring_bytes_per_device": ring_payload * max(d - 1, 0),
             "mxv_schedule": mxv_stats,
@@ -137,15 +152,25 @@ def run_weak(scale0: int, devices, reps: int):
         print(json.dumps(row), flush=True)
 
     if len(rows) > 1:
-        t0m, tNm = rows[0]["mxv_s"], rows[-1]["mxv_s"]
-        t0t, tNt = rows[0]["tricount_csr_s"], rows[-1]["tricount_csr_s"]
+        # On ONE host, d virtual devices share the same silicon, so the
+        # best possible aggregate throughput is the 1-device rate —
+        # wall-clock "efficiency" is bounded by 1/d by construction.
+        # The meaningful committed number is SCHEDULE OVERHEAD: the
+        # d-device aggregate rate over the 1-device rate (1.0 = the
+        # ring/collective schedule costs nothing on fixed silicon);
+        # judged on flops (tricount, superlinear work) / nnz (mxv).
+        em = rows[-1]["mxv_agg_nnz_per_s"] / rows[0]["mxv_agg_nnz_per_s"]
+        et = (rows[-1]["tri_agg_flops_per_s"]
+              / rows[0]["tri_agg_flops_per_s"])
         print(json.dumps({
-            "metric": "weak_scaling_efficiency",
+            "metric": "weak_scaling_schedule_overhead",
             "devices": rows[-1]["devices"],
-            "value": round(min(t0m / tNm, t0t / tNt), 3),
-            "unit": "t(1)/t(d) at fixed per-device size; 1.0 = flat",
-            "per_algorithm": {"mxv": round(t0m / tNm, 3),
-                              "tricount_csr": round(t0t / tNt, 3)},
+            "value": round(min(em, et), 3),
+            "unit": ("aggregate rate(d)/rate(1) on shared silicon; "
+                     "1.0 = schedule-free (true ICI weak scaling "
+                     "needs a pod)"),
+            "per_algorithm": {"mxv": round(em, 3),
+                              "tricount_csr": round(et, 3)},
             "north_star": 0.7,
             "note": ("virtual CPU devices share host cores: wall time "
                      "here bounds schedule overhead only; the "

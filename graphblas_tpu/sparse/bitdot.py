@@ -52,8 +52,9 @@ __all__ = ["BitdotPlan", "build_bitdot_plan", "bitdot_counts",
 #: uint32 panels stay under ~1 GB even if XLA materializes them
 _CHUNK_WORDS = 1 << 27
 
-#: panel memory budget (both packs together), bytes
-_PANEL_BUDGET = 6 << 30
+#: peak panel memory budget (cached level-1 pair + one transient
+#: extra-level pair coexist), bytes
+_PANEL_BUDGET = 8 << 30
 
 #: don't bother packing unless the heavy slab covers this wedge share
 _MIN_COVER = 0.30
@@ -124,7 +125,7 @@ def build_bitdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
                       budget_bytes: int = _PANEL_BUDGET,
                       cover_target: float = 0.995,
                       min_lanes: int = _MIN_LANES,
-                      max_levels: int = 6,
+                      max_levels: int = 8,
                       ) -> Optional[BitdotPlan]:
     """Host-side plan for counts[e] = (A.B)[i_e, j_e] over PLUS_PAIR.
 
@@ -154,7 +155,9 @@ def build_bitdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
     nnzk = int((score > 0).sum())
     kneed = int(np.searchsorted(csum, cover_target * total)) + 1
     kneed = min(kneed, nnzk)
-    wmax_mem = budget_bytes // (4 * (m + n))
+    # level 1 is cached across calls; extra levels are transient but
+    # coexist with it at peak — split the budget between the two
+    wmax_mem = (budget_bytes // 2) // (4 * (m + n))
     W = min((kneed + 31) // 32, wmax_mem)
     W = max(W, 1)
     # round W to a multiple of 8 (256-bit rows) for clean layout
@@ -179,11 +182,14 @@ def build_bitdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
     # ---- extra slabs: walk the tail while a slab still pays ----
     levels = []
     sel_end = kcut
-    while (len(levels) + 1 < max_levels and sel_end < nnzk):
+    wl_max = (budget_bytes - 4 * W * (m + n)) // (4 * (m + n))
+    wl_max = (wl_max // 8) * 8
+    while (wl_max >= 8 and len(levels) + 1 < max_levels
+           and sel_end < nnzk):
         rem = total - int(csum[sel_end - 1])
         if rem <= max(min_lanes, _MIN_LEVEL_REM):
             break
-        kcut_l = min(32 * W, nnzk - sel_end)
+        kcut_l = min(32 * wl_max, nnzk - sel_end)
         cov_l = int(csum[sel_end + kcut_l - 1]) - int(csum[sel_end - 1])
         if cov_l < 0.2 * rem and rem - cov_l > _MIN_LEVEL_REM:
             break

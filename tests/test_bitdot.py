@@ -153,7 +153,7 @@ def test_multi_level_slabs(rng):
     bd._MIN_LEVEL_REM, bd._MIN_LANES = 1, 1
     try:
         # tiny budget -> small W -> many levels
-        plan = build_bitdot_plan(L, L, U, budget_bytes=4 * (2 * n) * 8,
+        plan = build_bitdot_plan(L, L, U, budget_bytes=4 * (2 * n) * 24,
                                  cover_target=1.0, min_lanes=1)
         assert plan is not None and len(plan.levels) >= 1
         got = bitdot_counts(plan, L)
