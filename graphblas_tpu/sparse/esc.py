@@ -64,6 +64,21 @@ def _bucket(x: int, lo: int = 128) -> int:
     return c
 
 
+def _bucket4(x: int, lo: int = 1024) -> int:
+    """Quarter-step bucket: next value in {5/8, 6/8, 7/8, 8/8} * 2^k
+    (>= lo, multiple of 128).  Pow2 buckets waste up to 2x of every
+    lane-sized stage; quarter steps cap the waste at 25% for a 4x
+    larger (still tiny) jit cache."""
+    c = _bucket(x, lo)
+    if c <= lo:
+        return c
+    for num in (5, 6, 7):
+        v = (c // 8) * num
+        if v >= x and v % 128 == 0:
+            return v
+    return c
+
+
 @partial(jax.jit, static_argnums=(2,))
 def _flops_jit(a_indices, b_indptr, ncolsA: int):
     degB = (b_indptr[1:] - b_indptr[:-1]).astype(jnp.int64)
@@ -117,24 +132,58 @@ def _segmented_fold(add, zs, head, seg, E, ident, ztype):
     return out[:E + 1]
 
 
-def _expand_lanes(a_indices, a_rowids, b_indptr, b_indices,
-                  E: int, ncolsA: int, nzmaxA: int, nzmaxB: int):
-    """Lane t -> (A entry e, B position pos, live flag, i, j)."""
-    degB = (b_indptr[1:] - b_indptr[:-1]).astype(jnp.int64)
-    degB_ext = jnp.concatenate([degB, jnp.zeros((1,), jnp.int64)])
-    acol = jnp.minimum(a_indices.astype(jnp.int64), ncolsA)
-    lens = degB_ext[acol]                      # [nzmaxA]
-    csum = jnp.cumsum(lens)                    # inclusive
-    total = csum[-1] if nzmaxA else jnp.int64(0)
-    t = jnp.arange(E, dtype=jnp.int64)
-    e = jnp.searchsorted(csum, t, side="right")
+@partial(jax.jit, static_argnums=(2,))
+def _carry_jit(a_indices, b_indptr, ncolsA: int):
+    """Per-entry expansion carries (pattern-only; cached in the plan).
+
+    All lane offsets are int32: per-dispatch flops <= E < 2^31 by
+    construction (E = bucket(flops)), int64 is EMULATED on the TPU
+    vector unit, and the scatter-diff/cumsum reconstruction is exact
+    under int32 wraparound because the reconstructed values fit."""
+    nzmaxA = a_indices.shape[0]
+    degB = b_indptr[1:] - b_indptr[:-1]
+    degB_ext = jnp.concatenate([degB, jnp.zeros((1,), jnp.int32)])
+    acol = jnp.minimum(a_indices, ncolsA)
+    lens = degB_ext[acol]                      # [nzmaxA] int32
+    csum = jnp.cumsum(lens)
+    ne = lens > 0
+    rank = jnp.cumsum(ne.astype(jnp.int32)) - 1
+    tgt = jnp.where(ne, rank, nzmaxA)
+    starts = csum - lens                       # int32 lane offsets
+    pos0 = b_indptr[acol] - starts
+    eid = jnp.arange(nzmaxA, dtype=jnp.int32)
+
+    def compact(v):
+        return jnp.zeros((nzmaxA + 1,), jnp.int32).at[tgt].set(
+            v, mode="drop")
+    nne = jnp.sum(ne.astype(jnp.int32))
+    return compact(pos0), compact(eid), compact(starts), nne
+
+
+def _expand_lanes(pos0_c, eid_c, st_c, nne, total,
+                  a_rowids, b_indices, E: int, nzmaxA: int,
+                  nzmaxB: int):
+    """Lane t -> (A entry e, B position pos, live flag, i, j) from the
+    precomputed carries: two scatters + two cumsums + the inherent
+    ``b_indices[pos]`` gather — no per-lane searchsorted (the round-3
+    form cost ~21 chained gathers per lane and capped the ESC engine
+    at 0.92 M lanes/s)."""
+    CN = pos0_c.shape[0]
+
+    def diffs(v):
+        return v - jnp.concatenate([jnp.zeros((1,), v.dtype), v[:-1]])
+    ok = jnp.arange(CN, dtype=jnp.int32) < nne
+    sc = jnp.where(ok, jnp.clip(st_c, 0, E), E)
+
+    def expand(dv):
+        return jnp.cumsum(jnp.zeros((E + 1,), jnp.int32).at[sc].add(
+            jnp.where(ok, dv, 0), mode="drop")[:E])
+    pos_lane = expand(diffs(pos0_c))
+    ec_lane = expand(diffs(eid_c))
+    t = jnp.arange(E, dtype=jnp.int32)
     live = t < total
-    ec = jnp.minimum(e, nzmaxA - 1)
-    start = csum[ec] - lens[ec]
-    l = t - start
-    kk = jnp.minimum(acol[ec], ncolsA - 1)
-    pos = b_indptr[kk].astype(jnp.int64) + l
-    posc = jnp.clip(pos, 0, nzmaxB - 1)
+    ec = jnp.clip(ec_lane, 0, nzmaxA - 1)
+    posc = jnp.clip(pos_lane + t, 0, nzmaxB - 1)
     i = a_rowids[ec]
     j = b_indices[posc]
     return ec, posc, live, i, j
@@ -142,15 +191,16 @@ def _expand_lanes(a_indices, a_rowids, b_indptr, b_indices,
 
 def _esc_core(sr: Semiring, E: int, m: int, n: int, k: int,
               has_mask: bool, complement: bool, kdt,
-              a_indptr, a_indices, a_rowids, a_values,
-              b_indptr, b_indices, b_values, m_keys):
-    nzmaxA = a_indices.shape[0]
+              pos0_c, eid_c, st_c, nne, total,
+              a_rowids, a_values, b_indices, b_values, m_keys):
+    nzmaxA = a_rowids.shape[0]
     nzmaxB = b_indices.shape[0]
     big = jnp.asarray(np.iinfo(np.dtype(kdt)).max, kdt)
     sent = jnp.asarray(m * n, kdt)  # output sentinel: row m, "col" fixup
 
     ec, posc, live, i, j = _expand_lanes(
-        a_indices, a_rowids, b_indptr, b_indices, E, k, nzmaxA, nzmaxB)
+        pos0_c, eid_c, st_c, nne, total, a_rowids, b_indices, E,
+        nzmaxA, nzmaxB)
 
     key = i.astype(kdt) * n + j.astype(kdt)
     key = jnp.where(live, key, big)
@@ -178,10 +228,14 @@ def _esc_core(sr: Semiring, E: int, m: int, n: int, k: int,
     else:
         z = jnp.where(alive, z.astype(zt.dtype), jnp.asarray(ident, zt.dtype))
 
-    # sort by output coordinate (stable)
-    perm = jnp.argsort(key)
-    ks = key[perm]
-    zs = _tmap(lambda v: v[perm], z)
+    # sort by output coordinate, payloads carried THROUGH the sort
+    # (an argsort + per-lane permutation gathers costs 2 extra random
+    # accesses per lane and per payload leaf — the measured slow
+    # primitive; lax.sort moves the payload in the sort network)
+    leaves, treedef = jax.tree_util.tree_flatten(z)
+    sorted_ops = jax.lax.sort((key, *leaves), num_keys=1)
+    ks = sorted_ops[0]
+    zs = jax.tree_util.tree_unflatten(treedef, sorted_ops[1:])
 
     head = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
     seg = (jnp.cumsum(head) - 1).astype(jnp.int32)
@@ -272,12 +326,12 @@ def csr_spgemm(sr: Semiring, A: CsrMatrix, B: CsrMatrix,
     mask_vbuf = (mask.values if mask is not None and not structural
                  and not mask.type.is_udt else None)
     plan = A._options.get(pkey)
-    flops = nnz_known = None
+    flops = nnz_known = carries = None
     if plan is not None:
-        rb, rm, rmv, pf, pn = plan
+        rb, rm, rmv, pf, pn, pc = plan
         if rb() is B.indices and rm() is mask_buf \
                 and rmv() is mask_vbuf:
-            flops, nnz_known = pf, pn
+            flops, nnz_known, carries = pf, pn, pc
 
     if flops is None:
         # flop total sizes the expansion buffer.  When both operands
@@ -294,17 +348,30 @@ def csr_spgemm(sr: Semiring, A: CsrMatrix, B: CsrMatrix,
     if flops == 0 or (mask is not None and not complement
                       and mask.nvals == 0):
         return _empty_csr(m, n, zt)
-    E = _bucket(flops)
+    E = _bucket4(flops)
+
+    if carries is None:
+        # expansion carries are pattern-only: compute once, slice to
+        # the live-entry bucket (a heap-regime B touches few A
+        # entries, so warm calls stop paying O(nzmax(A)) stages), and
+        # remember them in the plan
+        p0, ei, st, nn = _carry_jit(A.indices, B.indptr, k)
+        nne_val = int(nn)        # plan-build pull (amortized like nnz)
+        CN = min(_bucket(max(nne_val, 8), 128) + 1, p0.shape[0])
+        carries = (p0[:CN], ei[:CN], st[:CN],
+                   jnp.asarray(nne_val, jnp.int32))
+    pos0_c, eid_c, st_c, nne = carries
 
     has_mask = mask is not None
     m_keys = (_mask_keys(mask, n, kdt, np.iinfo(np.dtype(kdt)).max,
                          structural)
               if has_mask else jnp.zeros((1,), kdt))
 
+    total = jnp.asarray(min(flops, E), jnp.int32)
     indptr, oj, oi, ov, nnzC = _esc_jit(
         sr, E, m, n, k, has_mask, complement, kdt,
-        A.indptr, A.indices, A.rowids, A.values,
-        B.indptr, B.indices, B.values, m_keys)
+        pos0_c, eid_c, st_c, nne, total,
+        A.rowids, A.values, B.indices, B.values, m_keys)
     if nnz_known is not None:
         nnz = nnz_known          # plan hit: no device pull at all
     else:
@@ -318,7 +385,7 @@ def csr_spgemm(sr: Semiring, A: CsrMatrix, B: CsrMatrix,
             except TypeError:       # buffer type not weakref-able
                 return lambda: None if x is None else x
         A._options[pkey] = (_ref(B.indices), _ref(mask_buf),
-                            _ref(mask_vbuf), flops, nnz)
+                            _ref(mask_vbuf), flops, nnz, carries)
     cap = min(_bucket(max(nnz, 8)), E + 1)
     from ..ops.flopcount import record_axb_method
     record_axb_method("esc:csr_spgemm")
