@@ -64,6 +64,7 @@ from .core.options import (Options, global_options, init, set_option,
                            get_option, BLOCKING, NONBLOCKING, BY_ROW,
                            BY_COL)
 from .core.io_export import (import_csr, import_csc, import_hyper_csr,
+                             import_hyper_csc, export_hyper_csc,
                              export_csr, export_hyper_csr,
                              export_csc, import_vector,
                              export_vector)
@@ -104,8 +105,8 @@ __all__ = [
     # options / io / printing
     "Options", "global_options", "init", "set_option", "get_option",
     "BLOCKING", "NONBLOCKING", "BY_ROW", "BY_COL", "import_csr",
-    "import_csc", "import_hyper_csr", "export_csr",
-    "export_hyper_csr", "export_csc",
+    "import_csc", "import_hyper_csr", "import_hyper_csc", "export_csr",
+    "export_hyper_csr", "export_hyper_csc", "export_csc",
     "import_vector", "export_vector", "fprint", "check", "SILENT",
     "SUMMARY", "SHORT", "COMPLETE",
 ]

@@ -107,6 +107,17 @@ def export_csr(A) -> Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]:
     return A.nrows, A.ncols, indptr, J, X
 
 
+def import_hyper_csc(nrows: int, ncols: int, nvec: int, h, p, indices,
+                     values, type: Optional[Type] = None):
+    """Hypersparse CSC (h = present COLUMNS, p = their pointer list,
+    indices = row ids per column) -> HyperCscMatrix
+    (``GxB_Matrix_import_HyperCSC``).  O(1) in spirit: the arrays are
+    adopted as the wrapped transpose's by-row hyper form."""
+    from ..sparse.hyper_csc import HyperCscMatrix
+    return HyperCscMatrix(import_hyper_csr(ncols, nrows, nvec, h, p,
+                                           indices, values, type=type))
+
+
 def export_hyper_csr(A):
     """Matrix/CsrMatrix -> (nrows, ncols, nvec, h, p, indices, values)
     in hypersparse-CSR form: ``h`` lists the nonempty rows, ``p`` their
@@ -159,3 +170,19 @@ def import_vector(n: int, indices, values, type: Optional[Type] = None
 def export_vector(v: Vector):
     I, X = v.extractTuples()
     return v.size, I, X
+
+
+def export_hyper_csc(A):
+    """Container -> (nrows, ncols, nvec, h, p, indices, values) in
+    hypersparse-CSC form (``GxB_Matrix_export_HyperCSC``): ``h`` lists
+    the nonempty columns, ``indices`` the row ids per column.  Zero-copy
+    for a HyperCscMatrix (the wrapped transpose IS the CSC form)."""
+    from ..sparse.hyper_csc import HyperCscMatrix
+    if isinstance(A, HyperCscMatrix):
+        ncols, nrows, nvec, h, p, idx, vals = export_hyper_csr(A.tr)
+        return nrows, ncols, nvec, h, p, idx, vals
+    from ..ops.containers import to_hyper_operand
+    from ..sparse.hyper import hyper_transpose
+    At = hyper_transpose(to_hyper_operand(A, False, "export"))
+    ncols, nrows, nvec, h, p, idx, vals = export_hyper_csr(At)
+    return nrows, ncols, nvec, h, p, idx, vals

@@ -59,6 +59,9 @@ def check(obj: Any) -> bool:
                         Descriptor)):
         return True
     from ..sparse.hyper import HyperMatrix
+    from ..sparse.hyper_csc import HyperCscMatrix
+    if isinstance(obj, HyperCscMatrix):
+        return _check_hyper(obj.tr)   # stored transpose carries invariants
     if isinstance(obj, HyperMatrix):
         return _check_hyper(obj)
     csr = _as_plain_csr(obj)
@@ -117,11 +120,14 @@ def fprint(obj: Any, name: str = "", level: int = SHORT,
         return
 
     from ..sparse.hyper import HyperMatrix
-    if _as_plain_csr(obj) is not None or isinstance(obj, HyperMatrix):
+    from ..sparse.hyper_csc import HyperCscMatrix
+    if _as_plain_csr(obj) is not None or isinstance(
+            obj, (HyperMatrix, HyperCscMatrix)):
         is_csc = type(obj).__name__ == "CscMatrix"
         fmt = "by_col (CSC)" if is_csc else (
             "hypersparse" if type(obj).__name__ == "HyperMatrix"
-            else "by_row (CSR)")
+            else "hypersparse by_col (CSC)"
+            if isinstance(obj, HyperCscMatrix) else "by_row (CSR)")
         w(f"\nGraphBLAS matrix: {name} \nnrows: {obj.nrows} "
           f"ncols: {obj.ncols} \nGraphBLAS type:  "
           f"{obj.type.name.lower()} format: {fmt} nvals: {obj.nvals}\n")

@@ -92,6 +92,18 @@ def assign(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
         require_container(A, "assign input A")
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
+    from ..sparse.hyper_csc import HyperCscMatrix
+    if isinstance(C, HyperCscMatrix):
+        from ..sparse.hyper_assign import hyper_assign
+        from .containers import to_hyper_operand
+        import dataclasses as _dc
+        d0 = desc_of(desc)
+        Aw = A if scalar else to_hyper_operand(A, not d0.tran0,
+                                               "assign input")
+        Mw = to_hyper_operand(M, True, "mask") if M is not None else None
+        return HyperCscMatrix(hyper_assign(
+            C.tr, Mw, accum, Aw, J, I,
+            _dc.replace(d0, tran0=False), scalar=scalar))
     if isinstance(C, HyperMatrix):
         from ..sparse.hyper_assign import hyper_assign
         return hyper_assign(C, M, accum, A, I, J, desc, scalar=scalar)
@@ -142,6 +154,18 @@ def subassign(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     A sparse-container ``C`` routes to the O(nnz) sparse forms."""
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
+    from ..sparse.hyper_csc import HyperCscMatrix
+    if isinstance(C, HyperCscMatrix):
+        from ..sparse.hyper_assign import hyper_subassign
+        from .containers import to_hyper_operand
+        import dataclasses as _dc
+        d0 = desc_of(desc)
+        Aw = A if scalar else to_hyper_operand(A, not d0.tran0,
+                                               "subassign input")
+        Mw = to_hyper_operand(M, True, "mask") if M is not None else None
+        return HyperCscMatrix(hyper_subassign(
+            C.tr, Mw, accum, Aw, J, I,
+            _dc.replace(d0, tran0=False), scalar=scalar))
     if isinstance(C, HyperMatrix):
         from ..sparse.hyper_assign import hyper_subassign
         return hyper_subassign(C, M, accum, A, I, J, desc,

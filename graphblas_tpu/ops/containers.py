@@ -50,8 +50,9 @@ def require_container(X, what: str = "operand",
         return
     CsrMatrix, CscMatrix, HyperMatrix = _containers()
     from ..sparse.vector import SparseVec
+    from ..sparse.hyper_csc import HyperCscMatrix
     known = (Matrix, Vector, CsrMatrix, CscMatrix, HyperMatrix,
-             SparseVec)
+             SparseVec, HyperCscMatrix)
     if not isinstance(X, known):
         raise UnsupportedContainer(
             f"{what}: expected a GraphBLAS container (Matrix, Vector, "
@@ -70,6 +71,10 @@ def to_csr_operand(X, tran: bool = False, what: str = "operand"):
         return X.T() if tran else X
     if isinstance(X, CscMatrix):
         return X.tr if tran else X.to_csr()
+    from ..sparse.hyper_csc import HyperCscMatrix
+    if isinstance(X, HyperCscMatrix):
+        X = X.tr
+        tran = not tran
     if isinstance(X, HyperMatrix):
         if max(X.nrows, X.ncols) > _CSR_DIM_CAP:
             raise UnsupportedContainer(
@@ -89,8 +94,12 @@ def to_hyper_operand(X, tran: bool = False, what: str = "operand"):
     """Any matrix container -> HyperMatrix, optionally transposed."""
     CsrMatrix, CscMatrix, HyperMatrix = _containers()
     from ..sparse.hyper import hyper_transpose
+    from ..sparse.hyper_csc import HyperCscMatrix
     if hasattr(X, "wait"):
         X = X.wait()
+    if isinstance(X, HyperCscMatrix):
+        X = X.tr                    # stored transpose: fold into flag
+        tran = not tran
     if isinstance(X, HyperMatrix):
         return hyper_transpose(X) if tran else X
     if isinstance(X, CscMatrix):

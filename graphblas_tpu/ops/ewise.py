@@ -134,6 +134,22 @@ def _dispatch_ewise(C, M, accum, op, A, B, d, union):
         return SparseVec(hyper_accum_mask(
             C.hm, Mw, T, accum, replace=d.replace,
             complement=d.mask_scmp, structural=d.mask_structure))
+    from ..sparse.hyper_csc import HyperCscMatrix
+    if isinstance(C, HyperCscMatrix):
+        # by-col output: run in the transposed frame ((A?B)' = A'?B')
+        # on the wrapped by-row container — the is_csc flag flip
+        from ..sparse.hyper import hyper_accum_mask, hyper_ewise
+        Aw = to_hyper_operand(A, not d.tran0, "eWise input A")
+        Bw = to_hyper_operand(B, not d.tran1, "eWise input B")
+        _hyper_guard_udt(op, Aw.type, Bw.type, C.type)
+        Mw = to_hyper_operand(M, True, "mask") if M is not None else None
+        if Aw.shape != C.tr.shape:
+            raise DimensionMismatch(
+                f"eWise shapes {Aw.shape[::-1]} vs C {C.shape}")
+        T = hyper_ewise(op, Aw, Bw, union=union)
+        return HyperCscMatrix(hyper_accum_mask(
+            C.tr.wait(), Mw, T, accum, replace=d.replace,
+            complement=d.mask_scmp, structural=d.mask_structure))
     if isinstance(C, HyperMatrix):
         return _ewise_hyper(C, M, accum, op, A, B, d, union)
     if isinstance(C, (CsrMatrix, CscMatrix)):
@@ -202,6 +218,18 @@ def apply(C, M, accum: Optional[BinaryOp], op: UnaryOp, A,
         return SparseVec(hyper_accum_mask(
             C.hm, Mw, T, accum, replace=d.replace,
             complement=d.mask_scmp, structural=d.mask_structure))
+    from ..sparse.hyper_csc import HyperCscMatrix
+    if isinstance(C, HyperCscMatrix):
+        from ..sparse.hyper import hyper_accum_mask, hyper_apply
+        Aw = to_hyper_operand(A, not d.tran0, "apply input")
+        Mw = to_hyper_operand(M, True, "mask") if M is not None else None
+        if Aw.shape != C.tr.shape:
+            raise DimensionMismatch(
+                f"apply {Aw.shape[::-1]} vs C {C.shape}")
+        T = hyper_apply(op, Aw, ztype=op.ztype)
+        return HyperCscMatrix(hyper_accum_mask(
+            C.tr.wait(), Mw, T, accum, replace=d.replace,
+            complement=d.mask_scmp, structural=d.mask_structure))
     if isinstance(C, HyperMatrix):
         from ..sparse.hyper import hyper_accum_mask, hyper_apply
         Aw = to_hyper_operand(A, d.tran0, "apply input")
@@ -262,6 +290,20 @@ def select(C, M, accum: Optional[BinaryOp], op: SelectOp, A,
                          user_fn=lambda i, j, x: op(i, j, x, thunk))
         return SparseVec(hyper_accum_mask(
             C.hm, Mw, T, accum, replace=d.replace,
+            complement=d.mask_scmp, structural=d.mask_structure))
+    from ..sparse.hyper_csc import HyperCscMatrix
+    if isinstance(C, HyperCscMatrix):
+        from ..sparse.hyper import hyper_accum_mask, hyper_select
+        Aw = to_hyper_operand(A, not d.tran0, "select input")
+        Mw = to_hyper_operand(M, True, "mask") if M is not None else None
+        if Aw.shape != C.tr.shape:
+            raise DimensionMismatch(
+                f"select {Aw.shape[::-1]} vs C {C.shape}")
+        # transposed frame: the predicate sees the ORIGINAL (i, j)
+        T = hyper_select("USER", Aw,
+                         user_fn=lambda i, j, x: op(j, i, x, thunk))
+        return HyperCscMatrix(hyper_accum_mask(
+            C.tr.wait(), Mw, T, accum, replace=d.replace,
             complement=d.mask_scmp, structural=d.mask_structure))
     if isinstance(C, HyperMatrix):
         from ..sparse.hyper import hyper_accum_mask, hyper_select

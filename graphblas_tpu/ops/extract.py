@@ -42,6 +42,16 @@ def extract(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
     from .containers import to_csr_operand
+    from ..sparse.hyper_csc import HyperCscMatrix
+    if isinstance(C, HyperCscMatrix):
+        from ..sparse.hyper_assign import hyper_extract
+        from .containers import to_hyper_operand
+        import dataclasses as _dc
+        d0 = desc_of(desc)
+        Aw = to_hyper_operand(A, not d0.tran0, "extract input")
+        Mw = to_hyper_operand(M, True, "mask") if M is not None else None
+        return HyperCscMatrix(hyper_extract(
+            C.tr, Mw, accum, Aw, J, I, _dc.replace(d0, tran0=False)))
     if isinstance(C, HyperMatrix):
         from ..sparse.hyper_assign import hyper_extract
         return hyper_extract(C, M, accum, A, I, J, desc)

@@ -388,6 +388,30 @@ def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     from ..sparse.container import CsrMatrix
     from ..sparse.hyper import (HyperMatrix, hyper_accum_mask,
                                 hyper_spgemm, hyper_transpose)
+    from ..sparse.hyper_csc import HyperCscMatrix
+    if isinstance(C, HyperCscMatrix):
+        # by-col output: C' = B'A' with the multiply flipped to
+        # preserve operand order (the GB_AxB_meta swap rule,
+        # GB_AxB_meta.c:86-185) on the wrapped by-row container
+        from .containers import to_hyper_operand
+        from ..core.ops import BinaryOp
+        from ..core.semirings import Semiring
+        Ct = C.tr.wait()
+        Aw = to_hyper_operand(A, not d.tran0, "mxm input A")
+        Bw = to_hyper_operand(B, not d.tran1, "mxm input B")
+        Mw = to_hyper_operand(M, True, "mask") if M is not None else None
+        mult = semiring.mult
+        flipped = Semiring(semiring.add, BinaryOp(
+            mult.name + "_FLIP", lambda x, y: mult.fn(y, x),
+            mult.ztype, mult.ytype, mult.xtype))
+        T = hyper_spgemm(flipped, Bw, Aw, mask=Mw,
+                         complement=d.mask_scmp,
+                         structural=d.mask_structure)
+        if accum is None and Ct.nvals == 0:
+            return HyperCscMatrix(T)
+        return HyperCscMatrix(hyper_accum_mask(
+            Ct, Mw, T, accum, replace=d.replace,
+            complement=d.mask_scmp, structural=d.mask_structure))
     if isinstance(C, HyperMatrix):
         # huge-dimension path: hypersparse ESC (O(nnz+nvec), dimension
         # up to 2^60 — the GB_to_hyper capability, GB.h:314-323);

@@ -9,6 +9,7 @@ host-side iteration loops (e.g. BFS convergence tests).
 
 from __future__ import annotations
 
+from dataclasses import replace as _dc_replace
 from typing import Any, Optional, Union
 
 import jax
@@ -74,6 +75,10 @@ def reduce_to_vector(w: Vector, m: Optional[Vector],
         return SparseVec(hyper_accum_mask(
             w.hm, mh, T, accum, replace=d.replace,
             complement=d.mask_scmp, structural=d.mask_structure))
+    from ..sparse.hyper_csc import HyperCscMatrix
+    if isinstance(A, HyperCscMatrix):
+        # stored transpose: row-reduce of A = col-reduce of A.tr
+        A, d = A.tr, _dc_replace(d, tran0=not d.tran0)
     if isinstance(A, HyperMatrix):
         from ..sparse.hyper import hyper_reduce_vector, hyper_transpose
         A = A.wait()
@@ -124,8 +129,11 @@ def reduce_to_scalar(accum: Optional[BinaryOp], op: Union[Monoid, BinaryOp],
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
     from ..sparse.vector import SparseVec
+    from ..sparse.hyper_csc import HyperCscMatrix
     if isinstance(A, SparseVec):
         A = A.hm
+    if isinstance(A, HyperCscMatrix):
+        A = A.tr               # reduce-all is orientation-invariant
     if isinstance(A, (CsrMatrix, CscMatrix)):
         from ..sparse.ewise import csr_reduce_scalar
         t = csr_reduce_scalar(mon, (A.tr if isinstance(A, CscMatrix)

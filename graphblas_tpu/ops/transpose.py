@@ -46,6 +46,21 @@ def transpose(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     d = desc_of(desc)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
+    from ..sparse.hyper_csc import HyperCscMatrix
+    if isinstance(C, HyperCscMatrix):
+        from ..sparse.hyper import hyper_accum_mask, hyper_apply
+        # C = A' by-col  <=>  C.tr = A (by-row frame)
+        T = to_hyper_operand(A, d.tran0, "transpose input")
+        if op is not None:
+            T = hyper_apply(op, T, ztype=op.ztype)
+        Mw = to_hyper_operand(M, True, "mask") if M is not None else None
+        if T.shape != C.tr.shape:
+            from ..core.errors import DimensionMismatch
+            raise DimensionMismatch(
+                f"A' is {T.shape[::-1]}, C is {C.shape}")
+        return HyperCscMatrix(hyper_accum_mask(
+            C.tr.wait(), Mw, T, accum, replace=d.replace,
+            complement=d.mask_scmp, structural=d.mask_structure))
     if isinstance(C, HyperMatrix):
         from ..sparse.hyper import hyper_accum_mask, hyper_apply
         T = to_hyper_operand(A, not d.tran0, "transpose input")
@@ -119,6 +134,23 @@ def kron(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     d = desc_of(desc)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
+    from ..sparse.hyper_csc import HyperCscMatrix
+    if isinstance(C, HyperCscMatrix):
+        from ..sparse.hyper import hyper_accum_mask, hyper_from_coo
+        # kron(A,B)' = kron(A',B'): transposed frame on the wrapper
+        Aw = to_hyper_operand(A, not d.tran0, "kron input A")
+        Bw = to_hyper_operand(B, not d.tran1, "kron input B")
+        if op.ztype.is_udt or Aw.type.is_udt or Bw.type.is_udt:
+            raise UnsupportedContainer(
+                "UDT kron on the hypersparse container is not "
+                "supported; use the CSR or bitmap container")
+        I, J, Z = _kron_tuples(op, Aw, Bw)
+        T = hyper_from_coo(I, J, Z, Aw.nrows * Bw.nrows,
+                           Aw.ncols * Bw.ncols, type=op.ztype, dup=None)
+        Mw = to_hyper_operand(M, True, "mask") if M is not None else None
+        return HyperCscMatrix(hyper_accum_mask(
+            C.tr.wait(), Mw, T, accum, replace=d.replace,
+            complement=d.mask_scmp, structural=d.mask_structure))
     if isinstance(C, HyperMatrix):
         from ..sparse.hyper import (hyper_accum_mask, hyper_from_coo)
         Aw = to_hyper_operand(A, d.tran0, "kron input A")

@@ -48,6 +48,7 @@ class DistCsr:
 
     def __init__(self, rowptr, indices, locrow, values, mesh: Mesh,
                  nrows: int, ncols: int, blk: int, type: Type = FP32):
+        self.starts = None         # variable slab boundaries (np, d+1)
         self.rowptr = rowptr
         self.indices = indices
         self.locrow = locrow
@@ -64,9 +65,16 @@ class DistCsr:
 
 
 def dist_csr_from_matrix(A, mesh: Optional[Mesh] = None,
-                         transpose: bool = False) -> DistCsr:
+                         transpose: bool = False,
+                         boundaries=None) -> DistCsr:
     """Split A's rows (or A''s, for vxm use) into per-device CSR slabs.
-    Accepts a bitmap Matrix or a CsrMatrix (no densify)."""
+    Accepts a bitmap Matrix or a CsrMatrix (no densify).
+
+    ``boundaries`` (optional, length d+1, boundaries[0]=0): explicit
+    slab row boundaries for WEIGHT-BALANCED partitions — the ring
+    SpGEMM cuts B's rows at equal flop weight so no single hub slab
+    serializes the rotation (every ring step is a barrier; with uniform
+    slabs a power-law hub slab costs d * max-slab-flops total)."""
     mesh = mesh or make_mesh()
     d = int(np.prod(mesh.devices.shape))
     if isinstance(A, Matrix):
@@ -85,10 +93,21 @@ def dist_csr_from_matrix(A, mesh: Optional[Mesh] = None,
         order = np.lexsort((J, I))
         I, J = I[order], J[order]
         X = tmap(lambda v: np.asarray(v)[order], X)
-    m_pad = pad_to_multiple(max(nrows, 1), d)
-    blk = m_pad // d
-    dev = (I // blk).astype(np.int64)
-    loc = (I % blk).astype(np.int32)
+    if boundaries is None:
+        m_pad = pad_to_multiple(max(nrows, 1), d)
+        blk = m_pad // d
+        dev = (I // blk).astype(np.int64)
+        loc = (I % blk).astype(np.int32)
+        starts = None
+    else:
+        bnd = np.asarray(boundaries, np.int64)
+        assert len(bnd) == d + 1 and bnd[0] == 0 and bnd[-1] >= nrows
+        dev = (np.searchsorted(bnd[1:], I, side="right")
+               ).astype(np.int64)
+        dev = np.minimum(dev, d - 1)
+        loc = (I - bnd[dev]).astype(np.int32)
+        blk = int(max((bnd[1:] - bnd[:-1]).max(), 1))
+        starts = bnd
     nz_per_dev = np.bincount(dev, minlength=d)
     nzpad = pad_to_multiple(max(int(nz_per_dev.max()), 8), 128)
 
@@ -117,12 +136,14 @@ def dist_csr_from_matrix(A, mesh: Optional[Mesh] = None,
         rowptr[p, 1:] = np.cumsum(cnt)
 
     sh = NamedSharding(mesh, P("i", None))
-    return DistCsr(jax.device_put(jnp.asarray(rowptr), sh),
-                   jax.device_put(jnp.asarray(indices), sh),
-                   jax.device_put(jnp.asarray(locrow), sh),
-                   tmap(lambda v: jax.device_put(jnp.asarray(v), sh),
-                        values),
-                   mesh, nrows, ncols, blk, t)
+    out = DistCsr(jax.device_put(jnp.asarray(rowptr), sh),
+                  jax.device_put(jnp.asarray(indices), sh),
+                  jax.device_put(jnp.asarray(locrow), sh),
+                  tmap(lambda v: jax.device_put(jnp.asarray(v), sh),
+                       values),
+                  mesh, nrows, ncols, blk, t)
+    out.starts = starts            # None = uniform blk slabs
+    return out
 
 
 def _local_spmv(sr: Optional[Semiring], indices, locrow, values, x_ext,

@@ -98,8 +98,8 @@ def _spgemm_prog(mesh: Mesh, sr: Semiring, d: int, blkA: int, blkB: int,
     ident = sr.add.identity
     big = np.iinfo(np.dtype(kdt)).max
 
-    def local(a_idx, a_loc, a_val, offs, b_rowptr, b_idx, b_val,
-              m_keys):
+    def local(a_idx, a_loc, a_val, offs, slab_starts, b_rowptr, b_idx,
+              b_val, m_keys):
         # a_* are K-SORTED local entries; offs[s] bounds the contiguous
         # range whose k falls in B slab s, so each ring step touches
         # O(maxE) entries, not O(nzA) — the weak-scaling contract
@@ -108,6 +108,8 @@ def _spgemm_prog(mesh: Mesh, sr: Semiring, d: int, blkA: int, blkB: int,
         a_idx, a_loc, a_val = a_idx[0], a_loc[0], a_val[0]
         offs = offs[0]
         b_rowptr, b_idx, b_val = b_rowptr[0], b_idx[0], b_val[0]
+        # replicated (d+1,) slab start rows: flop-balanced partitions
+        # make these non-uniform
         m_keys = m_keys[0]
         nzB = b_idx.shape[0]
         nzM = m_keys.shape[0]
@@ -123,7 +125,7 @@ def _spgemm_prog(mesh: Mesh, sr: Semiring, d: int, blkA: int, blkB: int,
         def step(s, carry):
             b_rowptr, b_idx, b_val, acc, npres = carry
             slab = ((pidx - s) % d).astype(jnp.int32)
-            base = slab * blkB
+            base = slab_starts[slab]
             lo = offs[slab]
             cnt = offs[slab + 1] - lo
             ai = jax.lax.dynamic_slice(a_idx, (lo,), (maxE,))
@@ -200,13 +202,32 @@ def _spgemm_prog(mesh: Mesh, sr: Semiring, d: int, blkA: int, blkB: int,
 
     f = jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P("i", None),) * 8,
+        in_specs=(P("i", None),) * 4 + (P(),) + (P("i", None),) * 4,
         out_specs=(P("i", None), P("i", None))))
     _PROG_CACHE[key] = f
     return f
 
 
-def _ksorted_slabs(A: CsrMatrix, d: int, blkA: int, blkB: int,
+def _balanced_boundaries(w: np.ndarray, d: int, npad: int) -> np.ndarray:
+    """Cut [0, len(w)) into d contiguous slabs of ~equal total weight
+    (the flop-balanced slicing the reference planned in
+    ``GB_AxB_parallel.c:52-59`` and never built).  Returns int64
+    boundaries of length d+1 with bnd[-1] = npad."""
+    cs = np.concatenate([[0], np.cumsum(w, dtype=np.float64)])
+    total = cs[-1]
+    if total <= 0:
+        bnd = np.linspace(0, npad, d + 1).astype(np.int64)
+        bnd[0], bnd[-1] = 0, npad
+        return bnd
+    bnd = np.searchsorted(cs, total * np.arange(d + 1) / d)
+    bnd = np.minimum(bnd, len(w)).astype(np.int64)
+    bnd[0] = 0
+    bnd[-1] = npad
+    bnd = np.maximum.accumulate(bnd)
+    return bnd
+
+
+def _ksorted_slabs(A: CsrMatrix, d: int, blkA: int, bndB: np.ndarray,
                    degB: np.ndarray):
     """Host plan for the ring schedule: per-device A entries sorted by
     contraction column k, with per-(device, B-slab) offsets and flop
@@ -223,7 +244,7 @@ def _ksorted_slabs(A: CsrMatrix, d: int, blkA: int, blkB: int,
     order = np.lexsort((I, J, dev))
     I, J, loc, dev = I[order], J[order], loc[order], dev[order]
     X = tmap(lambda v: v[order], X)
-    slab = J // blkB
+    slab = np.minimum(np.searchsorted(bndB[1:], J, side="right"), d - 1)
     offs = np.zeros((d, d + 1), np.int32)
     counts = np.zeros((d, d), np.int64)
     flops = np.zeros((d, d), np.int64)
@@ -282,30 +303,41 @@ def dist_masked_spgemm(sr: Semiring, A, B, M,
     if M.shape != (m, n):
         from ..core.errors import DimensionMismatch
         raise DimensionMismatch(f"mask {M.shape} vs product {(m, n)}")
-    DB = dist_csr_from_matrix(B, mesh)
     blkA = pad_to_multiple(max(m, 1), d) // d
-    blkB = DB.blk
     kdt = jnp.int32 if (blkA + 1) * n < (1 << 31) else jnp.int64
     m_keys_np, m_tuples = _slab_mask_keys(M, d, blkA, kdt)
     sh = NamedSharding(mesh, P("i", None))
     m_keys = jax.device_put(jnp.asarray(m_keys_np), sh)
 
-    # host ring plan: per-device k-sorted A entries + per-slab offsets
-    # (each step touches O(maxE) entries, and the chunk is sized to the
-    # true max per-step flop count, not a fixed 2^18)
+    # host ring plan: B slabs cut at EQUAL FLOP WEIGHT (every ring step
+    # is a barrier, so a hub-heavy uniform slab would cost
+    # d * max-slab-flops in total), then per-device k-sorted A entries
+    # + per-slab offsets (each step touches O(maxE) entries, and the
+    # chunk is sized to the true max per-step flop count)
     degB = np.diff(np.asarray(B.indptr)).astype(np.int64)
     if degB.shape[0] < k:
         degB = np.concatenate([degB, np.zeros(k - degB.shape[0],
                                               np.int64)])
+    hpA = A._options.get("host_pattern")
+    if hpA is not None:
+        indegA = np.bincount(np.asarray(hpA[1][:A.nvals]), minlength=k)
+    else:
+        av_live = np.asarray(A.indices[:A.nvals])
+        indegA = np.bincount(av_live, minlength=k)
+    kpad = pad_to_multiple(max(k, 1), d)
+    bndB = _balanced_boundaries(degB * indegA[:k], d, kpad)
+    DB = dist_csr_from_matrix(B, mesh, boundaries=bndB)
+    blkB = DB.blk
     from ..sparse.esc import _bucket
     a_idx_np, a_loc_np, a_val_np, offs_np, maxE, max_fl = \
-        _ksorted_slabs(A, d, blkA, blkB, degB)
+        _ksorted_slabs(A, d, blkA, bndB, degB)
     chunk = min(chunk, _bucket(max(max_fl, 1 << 12)))
     tmap = jax.tree_util.tree_map
     a_idx = jax.device_put(jnp.asarray(a_idx_np), sh)
     a_loc = jax.device_put(jnp.asarray(a_loc_np), sh)
     a_val = tmap(lambda v: jax.device_put(jnp.asarray(v), sh), a_val_np)
     offs = jax.device_put(jnp.asarray(offs_np), sh)
+    starts = jnp.asarray(bndB, jnp.int32)
 
     zdt = np.dtype(sr.ztype.dtype)
     if zdt == np.bool_:
@@ -314,9 +346,9 @@ def dist_masked_spgemm(sr: Semiring, A, B, M,
                         maxE)
     from . import introspect
     introspect.record("dist_masked_spgemm", prog,
-                      (a_idx, a_loc, a_val, offs,
+                      (a_idx, a_loc, a_val, offs, starts,
                        DB.rowptr, DB.indices, DB.values, m_keys))
-    acc, npres = prog(a_idx, a_loc, a_val, offs,
+    acc, npres = prog(a_idx, a_loc, a_val, offs, starts,
                       DB.rowptr, DB.indices, DB.values, m_keys)
 
     # device-side assembly (VERDICT r2 next #8: no per-device host

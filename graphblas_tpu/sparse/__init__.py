@@ -26,6 +26,7 @@ from .tri import (masked_pair_counts, tricount_esc, tricount_auto,
 from .mask import csr_accum_mask, csr_clear
 from .assign import (csr_subref, csr_extract, csr_assign, csr_subassign,
                      csr_assign_scalar, csr_subassign_scalar)
+from .hyper_csc import HyperCscMatrix
 from .hyper import (HyperMatrix, hyper_from_coo, hyper_spgemm,
                     hyper_ewise, hyper_mxv, hyper_reduce_scalar,
                     hyper_reduce_vector, hyper_apply, hyper_select,
@@ -54,7 +55,8 @@ __all__ = [
     "csr_filter_lanes", "csr_tril", "csr_triu",
     "csr_subref", "csr_extract", "csr_assign", "csr_subassign",
     "csr_assign_scalar", "csr_subassign_scalar",
-    "HyperMatrix", "hyper_from_coo", "hyper_spgemm", "hyper_ewise",
+    "HyperMatrix", "HyperCscMatrix", "hyper_from_coo", "hyper_spgemm",
+    "hyper_ewise",
     "hyper_mxv", "hyper_reduce_scalar", "hyper_reduce_vector",
     "hyper_apply", "hyper_select", "hyper_transpose", "hyper_conform",
     "nvec_nonempty", "GxB_INDEX_MAX", "GxB_HYPER_DEFAULT",

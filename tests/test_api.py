@@ -551,3 +551,28 @@ def test_grb_error_message():
         pass
     msg = grb.GrB_error()
     assert "INDEX_OUT_OF_BOUNDS" in msg and "4x4" in msg
+
+
+def test_fprint_check_all_sparse_containers():
+    """GxB_*_fprint / GB_check across all four storage formats x all
+    verbosity levels (round-4 printing coverage)."""
+    import io
+    import numpy as np
+    from graphblas_tpu.sparse import (CsrMatrix, CscMatrix, HyperMatrix,
+                                      HyperCscMatrix, hyper_from_coo)
+    I = np.array([0, 1, 3]); J = np.array([2, 0, 3])
+    X = np.array([1.0, 2.0, 3.0])
+    objs = [
+        CsrMatrix.from_coo(I, J, X, 4, 4, type=gb.FP64),
+        CscMatrix.from_coo(I, J, X, 4, 4, type=gb.FP64),
+        hyper_from_coo(I, J, X, 1 << 40, 1 << 40, type=gb.FP64),
+        HyperCscMatrix.from_coo(I, J, X, 1 << 40, 1 << 40, type=gb.FP64),
+    ]
+    for obj in objs:
+        for level in (gb.SILENT, gb.SUMMARY, gb.SHORT, gb.COMPLETE):
+            buf = io.StringIO()
+            gb.fprint(obj, type(obj).__name__, level, buf)
+            if level > gb.SILENT:
+                assert str(obj.nvals) in buf.getvalue() or \
+                    "nvals" in buf.getvalue()
+        assert gb.check(obj)
