@@ -16,7 +16,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["native_lib", "parse_triplets_native", "sort_dedup_native"]
+__all__ = ["native_lib", "parse_triplets_native", "sort_dedup_native",
+           "sort_pairs_native", "sym_dedup_native"]
 
 _LIB = None
 _TRIED = False
@@ -121,3 +122,49 @@ def sort_dedup_native(I: np.ndarray, J: np.ndarray, X: np.ndarray,
     if n < 0:
         return None
     return I[:n], J[:n], X[:n]
+
+
+def sort_pairs_native(I: np.ndarray, J: np.ndarray, nrows: int,
+                      ncols: int):
+    """Parallel radix (i, j) pair sort.  Returns (I_sorted, J_sorted,
+    perm) or None when the library / key range is unavailable.  Stable,
+    ascending — bit-identical to ``np.lexsort((J, I))`` ordering."""
+    lib = native_lib()
+    if lib is None or len(I) == 0:
+        return None
+    fn = getattr(lib, "gbtpu_sort_pairs", None)
+    if fn is None:
+        return None
+    fn.restype = ctypes.c_int
+    Ic = np.ascontiguousarray(I, np.int64).copy()
+    Jc = np.ascontiguousarray(J, np.int64).copy()
+    perm = np.empty(len(I), np.int64)
+    p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    rc = fn(p(Ic), p(Jc), ctypes.c_int64(len(Ic)),
+            ctypes.c_int64(nrows), ctypes.c_int64(ncols), p(perm))
+    if rc != 0:
+        return None
+    return Ic, Jc, perm
+
+
+def sym_dedup_native(I: np.ndarray, J: np.ndarray, n: int):
+    """Symmetrize + self-loop removal + dedup of an edge pattern —
+    exactly ``np.unique(np.concatenate([I*n+J, J*n+I]))`` minus the
+    diagonal, parallel.  Returns (I, J) or None."""
+    lib = native_lib()
+    if lib is None or len(I) == 0:
+        return None
+    fn = getattr(lib, "gbtpu_sym_dedup_pattern", None)
+    if fn is None:
+        return None
+    fn.restype = ctypes.c_int64
+    ne = len(I)
+    Ib = np.empty(2 * ne, np.int64)
+    Jb = np.empty(2 * ne, np.int64)
+    Ib[:ne] = I
+    Jb[:ne] = J
+    p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    out = fn(p(Ib), p(Jb), ctypes.c_int64(ne), ctypes.c_int64(n))
+    if out < 0:
+        return None
+    return Ib[:out].copy(), Jb[:out].copy()

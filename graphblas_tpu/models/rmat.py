@@ -14,7 +14,7 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["rmat_edges", "rmat_graph"]
+__all__ = ["rmat_edges", "rmat_graph", "symmetrize_pattern"]
 
 
 def rmat_edges(scale: int, edge_factor: int = 16,
@@ -58,3 +58,22 @@ def rmat_graph(scale: int, edge_factor: int = 16, seed: int = 1):
     n = 1 << scale
     return csr_from_coo(I, J, np.ones(len(I), np.float32), n, n,
                         type=FP32, sum_duplicates=False)
+
+
+def symmetrize_pattern(I: np.ndarray, J: np.ndarray, n: int):
+    """Sorted unique {(i,j)} U {(j,i)} minus the diagonal — the
+    standard undirected-graph prep of every runner.  Uses the native
+    OpenMP radix path when built (numpy fallback is bit-identical)."""
+    import os
+    if os.environ.get("GBTPU_NATIVE_SYM"):
+        # opt-in: the radix path wins on many-core hosts; on the 4-core
+        # dev box numpy's unique is competitive (PERF.md round 4)
+        from ..io.native import sym_dedup_native
+        nat = sym_dedup_native(np.asarray(I, np.int64),
+                               np.asarray(J, np.int64), n)
+        if nat is not None:
+            return nat
+    keep = I != J
+    I, J = I[keep], J[keep]
+    lin = np.unique(np.concatenate([I * n + J, J * n + I]))
+    return lin // n, lin % n

@@ -53,8 +53,9 @@ __all__ = ["BitdotPlan", "build_bitdot_plan", "bitdot_counts",
 _CHUNK_WORDS = 1 << 27
 
 #: peak panel memory budget (cached level-1 pair + one transient
-#: extra-level pair coexist), bytes
-_PANEL_BUDGET = 8 << 30
+#: extra-level pair coexist), bytes; override with GBTPU_BITDOT_BUDGET
+import os as _os
+_PANEL_BUDGET = int(_os.environ.get("GBTPU_BITDOT_BUDGET", 8 << 30))
 
 #: don't bother packing unless the heavy slab covers this wedge share
 _MIN_COVER = 0.30

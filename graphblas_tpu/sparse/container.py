@@ -224,16 +224,21 @@ def csr_from_coo(I, J, X, nrows: int, ncols: int,
                 f"tuple index out of range for {nrows}x{ncols}: "
                 f"rows [{imin},{imax}], cols [{jmin},{jmax}]")
     if I.size:
+        from ..io.native import sort_dedup_native, sort_pairs_native
         if sum_duplicates:
-            from ..io.native import sort_dedup_native
             nat = None
             if X.dtype == np.float64:
                 nat = sort_dedup_native(I, J, X, "PLUS")
             if nat is not None:
                 I, J, X = nat
             else:
-                order = np.lexsort((J, I))
-                I, J, X = I[order], J[order], X[order]
+                sp = sort_pairs_native(I, J, nrows, ncols)
+                if sp is not None:
+                    I, J, perm = sp
+                    X = X[perm]
+                else:
+                    order = np.lexsort((J, I))
+                    I, J, X = I[order], J[order], X[order]
                 lin = I * ncols + J
                 first = np.ones(len(lin), bool)
                 first[1:] = lin[1:] != lin[:-1]
@@ -241,8 +246,13 @@ def csr_from_coo(I, J, X, nrows: int, ncols: int,
                 X = np.add.reduceat(X, starts) if len(starts) < len(X) else X
                 I, J = I[starts], J[starts]
         else:
-            order = np.lexsort((J, I))
-            I, J, X = I[order], J[order], X[order]
+            sp = sort_pairs_native(I, J, nrows, ncols)
+            if sp is not None:
+                I, J, perm = sp
+                X = X[perm]
+            else:
+                order = np.lexsort((J, I))
+                I, J, X = I[order], J[order], X[order]
     nvals = len(I)
     cap = nzmax or _round_up(max(nvals, 8), 128)
     if cap < nvals:

@@ -264,3 +264,214 @@ void gbtpu_coo_to_csr(const int64_t *I, int64_t nvals, int64_t nrows,
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// OpenMP-parallel pair sort + pattern symmetrize/dedup (round 4).
+//
+// The reference's builder (GB_builder.c) and the Extras' prep codes
+// (tri_prep.c) are where large-graph host time goes; these are their
+// parallel equivalents: an LSD radix sort over linearized (i,j) keys
+// with per-thread histograms, used by the CSR builder's host path and
+// by the graph runners' symmetrize step.  Bit-exact with the numpy
+// path: both produce ascending unique keys (radix LSD is stable).
+// ---------------------------------------------------------------------------
+
+#include <cstdint>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+// parallel stable LSD radix sort of keys with an i64 payload.
+// 11-bit digits; per-thread histograms merged into global offsets.
+void radix_sort_kv(std::vector<uint64_t> &keys, std::vector<int64_t> &pay,
+                   uint64_t maxkey) {
+    const int64_t n = (int64_t)keys.size();
+    if (n <= 1) return;
+    constexpr int BITS = 11;
+    constexpr int64_t R = 1 << BITS;
+    int passes = 0;
+    while (passes * BITS < 64 && (maxkey >> (passes * BITS)) != 0)
+        passes++;
+    if (passes == 0) passes = 1;
+    std::vector<uint64_t> kbuf(n);
+    std::vector<int64_t> pbuf(n);
+#ifdef _OPENMP
+    const int nt = omp_get_max_threads();
+#else
+    const int nt = 1;
+#endif
+    std::vector<int64_t> hist((size_t)nt * R);
+    for (int p = 0; p < passes; p++) {
+        const int shift = p * BITS;
+        std::fill(hist.begin(), hist.end(), 0);
+#pragma omp parallel
+        {
+#ifdef _OPENMP
+            const int t = omp_get_thread_num();
+#else
+            const int t = 0;
+#endif
+            int64_t *h = hist.data() + (size_t)t * R;
+#pragma omp for schedule(static)
+            for (int64_t k = 0; k < n; k++)
+                h[(keys[k] >> shift) & (R - 1)]++;
+        }
+        // exclusive prefix over (digit, thread) in digit-major order
+        int64_t run = 0;
+        for (int64_t dgt = 0; dgt < R; dgt++)
+            for (int t = 0; t < nt; t++) {
+                int64_t c = hist[(size_t)t * R + dgt];
+                hist[(size_t)t * R + dgt] = run;
+                run += c;
+            }
+#pragma omp parallel
+        {
+#ifdef _OPENMP
+            const int t = omp_get_thread_num();
+#else
+            const int t = 0;
+#endif
+            int64_t *h = hist.data() + (size_t)t * R;
+#pragma omp for schedule(static)
+            for (int64_t k = 0; k < n; k++) {
+                int64_t dst = h[(keys[k] >> shift) & (R - 1)]++;
+                kbuf[dst] = keys[k];
+                pbuf[dst] = pay[k];
+            }
+        }
+        keys.swap(kbuf);
+        pay.swap(pbuf);
+    }
+}
+
+// keys-only variant (no payload traffic: dedup paths don't need one)
+void radix_sort_keys(std::vector<uint64_t> &keys, uint64_t maxkey) {
+    const int64_t n = (int64_t)keys.size();
+    if (n <= 1) return;
+    constexpr int BITS = 11;
+    constexpr int64_t R = 1 << BITS;
+    int passes = 0;
+    while (passes * BITS < 64 && (maxkey >> (passes * BITS)) != 0)
+        passes++;
+    if (passes == 0) passes = 1;
+    std::vector<uint64_t> kbuf(n);
+#ifdef _OPENMP
+    const int nt = omp_get_max_threads();
+#else
+    const int nt = 1;
+#endif
+    std::vector<int64_t> hist((size_t)nt * R);
+    for (int p = 0; p < passes; p++) {
+        const int shift = p * BITS;
+        std::fill(hist.begin(), hist.end(), 0);
+#pragma omp parallel
+        {
+#ifdef _OPENMP
+            const int t = omp_get_thread_num();
+#else
+            const int t = 0;
+#endif
+            int64_t *h = hist.data() + (size_t)t * R;
+#pragma omp for schedule(static)
+            for (int64_t k = 0; k < n; k++)
+                h[(keys[k] >> shift) & (R - 1)]++;
+        }
+        int64_t run = 0;
+        for (int64_t dgt = 0; dgt < R; dgt++)
+            for (int t = 0; t < nt; t++) {
+                int64_t cnt = hist[(size_t)t * R + dgt];
+                hist[(size_t)t * R + dgt] = run;
+                run += cnt;
+            }
+#pragma omp parallel
+        {
+#ifdef _OPENMP
+            const int t = omp_get_thread_num();
+#else
+            const int t = 0;
+#endif
+            int64_t *h = hist.data() + (size_t)t * R;
+#pragma omp for schedule(static)
+            for (int64_t k = 0; k < n; k++)
+                kbuf[h[(keys[k] >> shift) & (R - 1)]++] = keys[k];
+        }
+        keys.swap(kbuf);
+    }
+}
+
+} // namespace
+
+extern "C" {
+
+// Sort (I, J) pairs by (i, j) ascending; writes the sorted pairs back
+// and the applied permutation into perm (so callers reorder values).
+// Requires nrows*ncols < 2^63.  Returns 0 ok / -1 on overflow.
+int gbtpu_sort_pairs(int64_t *I, int64_t *J, int64_t n, int64_t nrows,
+                     int64_t ncols, int64_t *perm) {
+    if (n <= 0) return 0;
+    if (ncols > 0 && nrows > ((int64_t)1 << 62) / ncols) return -1;
+    std::vector<uint64_t> keys(n);
+    std::vector<int64_t> pay(n);
+    uint64_t mx = 0;
+#pragma omp parallel for schedule(static) reduction(max : mx)
+    for (int64_t k = 0; k < n; k++) {
+        uint64_t key = (uint64_t)I[k] * (uint64_t)ncols + (uint64_t)J[k];
+        keys[k] = key;
+        pay[k] = k;
+        if (key > mx) mx = key;
+    }
+    radix_sort_kv(keys, pay, mx);
+#pragma omp parallel for schedule(static)
+    for (int64_t k = 0; k < n; k++) {
+        I[k] = (int64_t)(keys[k] / (uint64_t)ncols);
+        J[k] = (int64_t)(keys[k] % (uint64_t)ncols);
+        perm[k] = pay[k];
+    }
+    return 0;
+}
+
+// Symmetrize an edge list: emit sorted unique {(i,j)} U {(j,i)} with
+// self-loops removed.  I/J are caller buffers of capacity 2*ne holding
+// ne input pairs; returns the output count (pairs written back), or -1
+// on overflow.  Exactly np.unique(concat([i*n+j, j*n+i])) minus the
+// diagonal, in the same ascending order.
+int64_t gbtpu_sym_dedup_pattern(int64_t *I, int64_t *J, int64_t ne,
+                                int64_t n) {
+    if (ne <= 0) return 0;
+    if (n > 0 && n > ((int64_t)1 << 62) / n) return -1;
+    // parallel fill; self-loops become the max sentinel and sort last
+    constexpr uint64_t SENT = ~(uint64_t)0;
+    std::vector<uint64_t> keys(2 * ne);
+    uint64_t mx = 0;
+#pragma omp parallel for schedule(static) reduction(max : mx)
+    for (int64_t k = 0; k < ne; k++) {
+        if (I[k] == J[k]) {
+            keys[2 * k] = SENT;
+            keys[2 * k + 1] = SENT;
+            continue;
+        }
+        uint64_t a = (uint64_t)I[k] * (uint64_t)n + (uint64_t)J[k];
+        uint64_t b = (uint64_t)J[k] * (uint64_t)n + (uint64_t)I[k];
+        keys[2 * k] = a;
+        keys[2 * k + 1] = b;
+        uint64_t m = a > b ? a : b;
+        if (m > mx) mx = m;
+    }
+    radix_sort_keys(keys, mx == 0 ? 1 : mx);
+    // sentinels sorted beyond every real key only if mx covers their
+    // digits — they don't: passes cover real-key bits, so sentinels
+    // keep all-ones in the covered digits and still sort last
+    int64_t out = 0;
+    for (size_t k = 0; k < keys.size(); k++) {
+        if (keys[k] == SENT) break;
+        if (k && keys[k] == keys[k - 1]) continue;
+        I[out] = (int64_t)(keys[k] / (uint64_t)n);
+        J[out] = (int64_t)(keys[k] % (uint64_t)n);
+        out++;
+    }
+    return out;
+}
+
+} // extern "C"

@@ -129,3 +129,39 @@ def test_read_matrix_uses_native(tmp_path):
     A = gbio.read_matrix(str(p))
     assert A.extractElement(0, 1) == 6.0
     assert A.extractElement(1, 0) == 3.0
+
+
+def test_native_pair_sort_matches_lexsort():
+    import numpy as np
+    from graphblas_tpu.io.native import sort_pairs_native
+    rng = np.random.default_rng(3)
+    I = rng.integers(0, 500, 20_000)
+    J = rng.integers(0, 700, 20_000)
+    sp = sort_pairs_native(I, J, 500, 700)
+    if sp is None:
+        import pytest
+        pytest.skip("native library not built")
+    Is, Js, perm = sp
+    order = np.lexsort((J, I))
+    assert np.array_equal(Is, I[order])
+    assert np.array_equal(Js, J[order])
+    X = rng.random(len(I))
+    assert np.array_equal(X[perm], X[order])   # stable permutation
+
+
+def test_native_sym_dedup_matches_numpy():
+    import numpy as np
+    from graphblas_tpu.io.native import sym_dedup_native
+    rng = np.random.default_rng(4)
+    n = 300
+    I = rng.integers(0, n, 5_000)
+    J = rng.integers(0, n, 5_000)
+    I[::11] = J[::11]                      # self loops must be dropped
+    r = sym_dedup_native(I, J, n)
+    if r is None:
+        import pytest
+        pytest.skip("native library not built")
+    k = I != J
+    lin = np.unique(np.concatenate([I[k] * n + J[k], J[k] * n + I[k]]))
+    assert np.array_equal(r[0], lin // n)
+    assert np.array_equal(r[1], lin % n)

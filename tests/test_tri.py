@@ -151,3 +151,30 @@ def test_allktruss_csr_matches_bitmap(rng):
            {k: v["nedges"] for k, v in want.items()}
     assert {k: v["nt"] for k, v in got.items()} == \
            {k: v["nt"] for k, v in want.items()}
+
+
+def test_tricount_device_batching():
+    """tricount_device returns a device scalar (no pull) equal to the
+    host API; N submissions then one pull is the RTT-amortized form."""
+    import numpy as np
+    import jax.numpy as jnp
+    from graphblas_tpu.sparse.tri import (tricount_device, tricount_esc,
+                                          tricount_prep_csr)
+    from graphblas_tpu.sparse import CsrMatrix
+    import graphblas_tpu as gb
+    rng = np.random.default_rng(2)
+    outs, want = [], []
+    for seed in (1, 2, 3):
+        r = np.random.default_rng(seed)
+        n = 300
+        I = r.integers(0, n, 1200); J = r.integers(0, n, 1200)
+        keep = I != J; I, J = I[keep], J[keep]
+        lin = np.unique(np.concatenate([I * n + J, J * n + I]))
+        I, J = lin // n, lin % n
+        A = CsrMatrix.from_coo(I, J, np.ones(len(I), bool), n, n,
+                               type=gb.BOOL, sum_duplicates=False)
+        L, U = tricount_prep_csr(A)
+        outs.append(tricount_device(L, U))   # submit, no pull
+        want.append(tricount_esc(L, U))
+    got = [int(o) for o in outs]             # one barrier drains all
+    assert got == want
