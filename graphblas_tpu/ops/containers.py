@@ -134,6 +134,9 @@ def to_bitmap_operand(X, what: str = "operand"):
         X = X.wait()
     if isinstance(X, (CsrMatrix, CscMatrix)):
         return X.to_matrix()
+    from ..sparse.hyper_csc import HyperCscMatrix
+    if isinstance(X, HyperCscMatrix):
+        X = X.to_hyper()
     if isinstance(X, HyperMatrix):
         if max(X.nrows, X.ncols) > (1 << 16):
             raise UnsupportedContainer(

@@ -220,6 +220,10 @@ def build_bitdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
     keep[:A.nvals] = ~sel_any[a_cols]
     from .tri import csr_filter_lanes
     A_light = _shrink(csr_filter_lanes(A, jnp.asarray(keep)))
+    # hand the residual its host pattern (same order as the device
+    # compaction) so the sort-merge engine can row-slice the mask
+    lk = keep[:A.nvals]
+    A_light._options["host_pattern"] = (a_rows[lk], a_cols[lk])
     return BitdotPlan(Apack, Bpack, A_light, W, kcut_all,
                       covered_all, total - covered_all, tuple(levels))
 

@@ -181,3 +181,25 @@ def test_transpose_op_and_import_export(rng):
     back = gb.import_hyper_csc(nrows, ncols, nvec, h, p, idx, vals,
                                type=gb.FP64)
     assert _dense_map(back) == _dense_map(Ar)
+
+
+def test_mxv_vxm_with_hyper_csc_input(rng):
+    # hyper-CSC as an mxv/vxm INPUT at modest dimension (bitmap route)
+    n = 64
+    r = np.random.default_rng(11)
+    I = r.integers(0, n, 200)
+    J = r.integers(0, n, 200)
+    lin = np.unique(I * n + J)
+    I, J = lin // n, lin % n
+    X = r.random(len(I))
+    Ac = HyperCscMatrix.from_coo(I, J, X, n, n, type=gb.FP64)
+    D = np.zeros((n, n))
+    D[I, J] = X
+    u = gb.Vector.from_dense(np.arange(n, dtype=float))
+    w = gb.mxv(gb.Vector.new(gb.FP64, n), None, None,
+               gb.semiring.plus_times[gb.FP64], Ac, u)
+    want = D @ np.arange(n)
+    assert np.allclose(np.asarray(w.to_dense()), want)
+    w2 = gb.vxm(gb.Vector.new(gb.FP64, n), None, None,
+                gb.semiring.plus_times[gb.FP64], u, Ac)
+    assert np.allclose(np.asarray(w2.to_dense()), np.arange(n) @ D)

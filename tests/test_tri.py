@@ -178,3 +178,26 @@ def test_tricount_device_batching():
         want.append(tricount_esc(L, U))
     got = [int(o) for o in outs]             # one barrier drains all
     assert got == want
+
+
+def test_blocked_mask_slicing_matches_single_dispatch():
+    """Force the multi-block host split with a tiny lane cap: the
+    row-sliced mask path must agree with the one-dispatch result."""
+    import numpy as np
+    import jax.numpy as jnp
+    import graphblas_tpu as gb
+    from graphblas_tpu.sparse import CsrMatrix
+    from graphblas_tpu.sparse.tri import masked_pair_counts
+    r = np.random.default_rng(17)
+    n = 400
+    I = r.integers(0, n, 3000); J = r.integers(0, n, 3000)
+    keep = I != J; I, J = I[keep], J[keep]
+    lin = np.unique(np.concatenate([I * n + J, J * n + I]))
+    I, J = lin // n, lin % n
+    A = CsrMatrix.from_coo(I, J, np.ones(len(I), bool), n, n,
+                           type=gb.BOOL, sum_duplicates=False)
+    ref = masked_pair_counts(A, A, A)                 # single dispatch
+    got = masked_pair_counts(A, A, A, chunk=1 << 14)  # many blocks
+    assert bool(jnp.all(got == ref))
+    # the host pattern is present, so the sliced path really ran
+    assert A._options.get("host_pattern") is not None

@@ -41,11 +41,10 @@ def devmem():
 def build(scale):
     n = 1 << scale
     I, J = rmat_edges(scale, 16, seed=7)
-    # symmetrize + dedup + no self loops (host)
-    keep = I != J
-    I, J = I[keep], J[keep]
-    lin = np.unique(np.concatenate([I * n + J, J * n + I]))
-    I, J = lin // n, lin % n
+    # symmetrize + dedup + no self loops (host; native radix when
+    # GBTPU_NATIVE_SYM=1, bit-identical numpy otherwise)
+    from graphblas_tpu.models.rmat import symmetrize_pattern
+    I, J = symmetrize_pattern(I, J, n)
     A = CsrMatrix.from_coo(I, J, np.ones(len(I), bool), n, n,
                            type=gb.BOOL, sum_duplicates=False)
     return A, n, len(I)
