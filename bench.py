@@ -88,13 +88,11 @@ def main():
     # ---- the UNSTRUCTURED regime (ADVICE r3: the bench file must show
     # both): power-law R-MAT through the bitdot hybrid engine ----
     from graphblas_tpu.models.rmat import rmat_edges
+    from graphblas_tpu.models.rmat import symmetrize_pattern
     rs = 16
     rn = 1 << rs
     RI, RJ = rmat_edges(rs, 16, seed=7)
-    keep = RI != RJ
-    RI, RJ = RI[keep], RJ[keep]
-    rlin = np.unique(np.concatenate([RI * rn + RJ, RJ * rn + RI]))
-    RI, RJ = rlin // rn, rlin % rn
+    RI, RJ = symmetrize_pattern(RI, RJ, rn)
     RA = sp.CsrMatrix.from_coo(RI, RJ, np.ones(len(RI), bool), rn, rn,
                                type=gb.BOOL, sum_duplicates=False)
     RL, RU = tri.tricount_prep_csr(RA)

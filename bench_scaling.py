@@ -53,18 +53,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import graphblas_tpu as gb                       # noqa: E402
 from graphblas_tpu import parallel as par        # noqa: E402
 from graphblas_tpu.parallel import introspect    # noqa: E402
+introspect.enable()
 
 
 def rmat_graph(scale: int, seed: int = 7):
     """Symmetrized, deduped, loop-free R-MAT (ef=16) as CsrMatrix."""
     from graphblas_tpu.models.rmat import rmat_edges
     from graphblas_tpu.sparse import CsrMatrix
+    from graphblas_tpu.models.rmat import symmetrize_pattern
     n = 1 << scale
     I, J = rmat_edges(scale, 16, seed=seed)
-    keep = I != J
-    I, J = I[keep], J[keep]
-    lin = np.unique(np.concatenate([I * n + J, J * n + I]))
-    I, J = lin // n, lin % n
+    I, J = symmetrize_pattern(I, J, n)
     A = CsrMatrix.from_coo(I, J, np.ones(len(I), bool), n, n,
                            type=gb.BOOL, sum_duplicates=False)
     return A, n, len(I)

@@ -369,6 +369,27 @@ def _mxm_sparse(C, M, accum, sr: Semiring, A, B, d: Descriptor):
     return csr_accum_mask(C, Mc, T, accum, d)
 
 
+_FLIP_CACHE = {}
+
+
+def _flipped_semiring(sr):
+    """Operand-flipped semiring, memoized per source semiring so the
+    jit/plan caches keyed on semiring identity stay warm (a fresh
+    lambda per call would recompile the ESC kernel every mxm)."""
+    from ..core.ops import BinaryOp
+    from ..core.semirings import Semiring
+    key = id(sr)
+    hit = _FLIP_CACHE.get(key)
+    if hit is not None and hit[0] is sr:
+        return hit[1]
+    mult = sr.mult
+    flipped = Semiring(sr.add, BinaryOp(
+        mult.name + "_FLIP", lambda x, y: mult.fn(y, x),
+        mult.ztype, mult.ytype, mult.xtype))
+    _FLIP_CACHE[key] = (sr, flipped)
+    return flipped
+
+
 @counters.counted("mxm")
 def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
         semiring: Semiring, A: Matrix, B: Matrix,
@@ -400,10 +421,7 @@ def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
         Aw = to_hyper_operand(A, not d.tran0, "mxm input A")
         Bw = to_hyper_operand(B, not d.tran1, "mxm input B")
         Mw = to_hyper_operand(M, True, "mask") if M is not None else None
-        mult = semiring.mult
-        flipped = Semiring(semiring.add, BinaryOp(
-            mult.name + "_FLIP", lambda x, y: mult.fn(y, x),
-            mult.ztype, mult.ytype, mult.xtype))
+        flipped = _flipped_semiring(semiring)
         T = hyper_spgemm(flipped, Bw, Aw, mask=Mw,
                          complement=d.mask_scmp,
                          structural=d.mask_structure)

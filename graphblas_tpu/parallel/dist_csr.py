@@ -234,6 +234,9 @@ def dist_csr_mxv(D: DistCsr, x, sr: Optional[Semiring] = None):
         tmap = jax.tree_util.tree_map
         x_ext = tmap(lambda v: jnp.concatenate(
             [jnp.asarray(v), jnp.zeros((1,), jnp.asarray(v).dtype)]), x)
+        if D.starts is not None:
+            raise ValueError(
+                "dist_csr_mxv requires uniform slabs (see above)")
         prog = _udt_mxv_prog(D.mesh, D.blk, sr)
         y = prog(D.rowptr, D.indices, D.locrow, D.values, x_ext)
         return tmap(lambda v: v.reshape(-1)[:D.nrows], y)
@@ -246,6 +249,11 @@ def dist_csr_mxv(D: DistCsr, x, sr: Optional[Semiring] = None):
         # the sentinel slot must be harmless: dead lanes are identity-
         # washed in the kernel, so any in-domain value works
         xfill = jnp.zeros((1,), x.dtype)
+    if D.starts is not None:
+        raise ValueError(
+            "dist_csr_mxv requires uniform slabs; this DistCsr was "
+            "built with explicit flop-balanced boundaries (ring "
+            "SpGEMM use only)")
     x_ext = jnp.concatenate([x, xfill])
     prog = _mxv_prog(D.mesh, D.blk, sr)
     from . import introspect

@@ -23,11 +23,24 @@ import re
 from typing import Any, Dict, Optional, Tuple
 
 _LAST: Dict[str, Tuple[Any, tuple]] = {}
+_ENABLED = False
+
+
+def enable(on: bool = True) -> None:
+    """Turn recording on (bench_scaling / dryrun / tests).  Off by
+    default: holding the recorded argument arrays would pin every
+    operand of the last distributed call in device memory."""
+    global _ENABLED
+    _ENABLED = on
+    if not on:
+        _LAST.clear()
 
 
 def record(name: str, prog, args: tuple) -> None:
-    """Remember the jitted program + concrete args of the last call."""
-    _LAST[name] = (prog, args)
+    """Remember the jitted program + concrete args of the last call
+    (no-op unless :func:`enable` was called)."""
+    if _ENABLED:
+        _LAST[name] = (prog, args)
 
 
 def last(name: str) -> Optional[Tuple[Any, tuple]]:

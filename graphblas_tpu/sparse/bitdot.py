@@ -68,6 +68,10 @@ _MIN_LANES = 1 << 22
 #: cheap sort dispatch)
 _MIN_LEVEL_REM = 1 << 25
 
+#: a level must cover at least this many wedges to pay for its own
+#: transient build + gather pass
+_MIN_LEVEL_COVER = 1 << 24
+
 
 class PackLevel(NamedTuple):
     """A transient bitmap slab (levels 2+): the selected entries are
@@ -123,10 +127,10 @@ def _pack_jit(nrows: int, W: int, rows, slots, live):
 
 
 def build_bitdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
-                      budget_bytes: int = _PANEL_BUDGET,
+                      budget_bytes: Optional[int] = None,
                       cover_target: float = 0.995,
-                      min_lanes: int = _MIN_LANES,
-                      max_levels: int = 8,
+                      min_lanes: Optional[int] = None,
+                      max_levels: int = 24,
                       ) -> Optional[BitdotPlan]:
     """Host-side plan for counts[e] = (A.B)[i_e, j_e] over PLUS_PAIR.
 
@@ -139,6 +143,12 @@ def build_bitdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
     the bitmaps can't cover enough wedges to pay.
     """
     from .esc import _bucket
+    # late-bind the tunables so monkeypatched module globals (tests)
+    # and env overrides take effect at call time, not def time
+    if budget_bytes is None:
+        budget_bytes = _PANEL_BUDGET
+    if min_lanes is None:
+        min_lanes = _MIN_LANES
     m, kk = A.shape
     n = B.ncols
     if A.nvals == 0 or B.nvals == 0 or M.nvals == 0:
@@ -159,15 +169,41 @@ def build_bitdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
     # level 1 is cached across calls; extra levels are transient but
     # coexist with it at peak — split the budget between the two
     wmax_mem = (budget_bytes // 2) // (4 * (m + n))
+    if wmax_mem < 8:
+        return None          # even W=8 panels would blow the budget
     W = min((kneed + 31) // 32, wmax_mem)
     W = max(W, 1)
     # round W to a multiple of 8 (256-bit rows) for clean layout
     W = ((W + 7) // 8) * 8
     W = min(W, wmax_mem) if wmax_mem >= 8 else W
     kcut = min(32 * W, nnzk)
-    covered = int(csum[kcut - 1])
-    if covered < _MIN_COVER * total:
+
+    # ---- plan ALL slabs on the host first, then gate on the TOTAL
+    # coverage (at huge n the per-level W is small, but many cheap
+    # levels still reach deep into the tail — round-4 scale-22 fix:
+    # gating on level 1 alone refused the whole engine) ----
+    wl_max = (budget_bytes - 4 * W * (m + n)) // (4 * (m + n))
+    wl_max = (wl_max // 8) * 8
+    level_cuts = []
+    sel_end = kcut
+    while (wl_max >= 8 and len(level_cuts) + 1 < max_levels
+           and sel_end < nnzk):
+        rem = total - int(csum[sel_end - 1])
+        if rem <= max(min_lanes, _MIN_LEVEL_REM):
+            break
+        kcut_l = min(32 * wl_max, nnzk - sel_end)
+        cov_l = int(csum[sel_end + kcut_l - 1]) - int(csum[sel_end - 1])
+        # a level pays when it removes more sort work than its own
+        # build+pass (absolute floor ~2^24 lanes)
+        if (cov_l < max(_MIN_LEVEL_COVER, 0.05 * rem)
+                and rem - cov_l > _MIN_LEVEL_REM):
+            break
+        level_cuts.append((sel_end, kcut_l, cov_l))
+        sel_end += kcut_l
+    covered_all = int(csum[sel_end - 1])
+    if covered_all < _MIN_COVER * total:
         return None
+
     ksel = order[:kcut]
     pos = np.full(kk, -1, np.int32)
     pos[ksel] = np.arange(kcut, dtype=np.int32)
@@ -180,21 +216,9 @@ def build_bitdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
     b_slot = pos_dev[jnp.clip(B.rowids, 0, kk - 1)]
     Bpack = _pack_jit(n, W, B.indices, b_slot, b_live)
 
-    # ---- extra slabs: walk the tail while a slab still pays ----
     levels = []
-    sel_end = kcut
-    wl_max = (budget_bytes - 4 * W * (m + n)) // (4 * (m + n))
-    wl_max = (wl_max // 8) * 8
-    while (wl_max >= 8 and len(levels) + 1 < max_levels
-           and sel_end < nnzk):
-        rem = total - int(csum[sel_end - 1])
-        if rem <= max(min_lanes, _MIN_LEVEL_REM):
-            break
-        kcut_l = min(32 * wl_max, nnzk - sel_end)
-        cov_l = int(csum[sel_end + kcut_l - 1]) - int(csum[sel_end - 1])
-        if cov_l < 0.2 * rem and rem - cov_l > _MIN_LEVEL_REM:
-            break
-        ksel_l = order[sel_end:sel_end + kcut_l]
+    for ls, kcut_l, cov_l in level_cuts:
+        ksel_l = order[ls:ls + kcut_l]
         pos_l = np.full(kk, -1, np.int32)
         pos_l[ksel_l] = np.arange(kcut_l, dtype=np.int32)
         am = pos_l[a_cols] >= 0
@@ -210,9 +234,6 @@ def build_bitdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
         levels.append(PackLevel(Wl, jnp.asarray(ar), jnp.asarray(asl),
                                 jnp.asarray(bj), jnp.asarray(bsl),
                                 cov_l))
-        sel_end += kcut_l
-
-    covered_all = int(csum[sel_end - 1])
     kcut_all = sel_end
     sel_any = np.zeros(kk, bool)
     sel_any[order[:sel_end]] = True
@@ -287,11 +308,18 @@ def bitdot_counts(plan: BitdotPlan, M: CsrMatrix) -> jnp.ndarray:
     counts = _bitdot_pass(plan.Apack, plan.Bpack, M)
     m = plan.Apack.shape[0]
     n = plan.Bpack.shape[0]
+    # large transient panels must not pile up: dispatch is async, so
+    # without a drain every level's pair would be live at once (OOM at
+    # scale 22).  One scalar pull per level is the FIFO barrier.
+    big = 4 * (m + n) * max((lv.W for lv in plan.levels), default=0)
+    sync_each = big > (1 << 29)
     for lv in plan.levels:
         Ap = _pack_jit(m, lv.W, lv.a_rows, lv.a_slots, lv.a_slots >= 0)
         Bp = _pack_jit(n, lv.W, lv.b_js, lv.b_slots, lv.b_slots >= 0)
         counts = counts + _bitdot_pass(Ap, Bp, M)
         del Ap, Bp
+        if sync_each:
+            jax.device_get(counts[0])      # drain the pipeline
     return counts
 
 
@@ -334,7 +362,9 @@ def masked_pair_counts_auto(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
     kw = {} if chunk is None else {"chunk": chunk}
     plan = _cached_plan(M, A, B)
     if plan is None:
-        return masked_pair_counts(M, A, B, **kw)
+        counts = masked_pair_counts(M, A, B, **kw)
+        record_axb_method("tri:sort_merge")
+        return counts
     heavy = bitdot_counts(plan, M)
     if plan.light_lanes == 0 or plan.A_light.nvals == 0:
         record_axb_method("bitdot:full")

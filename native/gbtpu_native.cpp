@@ -285,7 +285,8 @@ namespace {
 
 // parallel stable LSD radix sort of keys with an i64 payload.
 // 11-bit digits; per-thread histograms merged into global offsets.
-void radix_sort_kv(std::vector<uint64_t> &keys, std::vector<int64_t> &pay,
+// pay == nullptr -> keys-only (dedup paths skip the payload traffic)
+void radix_sort_kv(std::vector<uint64_t> &keys, std::vector<int64_t> *pay,
                    uint64_t maxkey) {
     const int64_t n = (int64_t)keys.size();
     if (n <= 1) return;
@@ -296,7 +297,7 @@ void radix_sort_kv(std::vector<uint64_t> &keys, std::vector<int64_t> &pay,
         passes++;
     if (passes == 0) passes = 1;
     std::vector<uint64_t> kbuf(n);
-    std::vector<int64_t> pbuf(n);
+    std::vector<int64_t> pbuf(pay ? n : 0);
 #ifdef _OPENMP
     const int nt = omp_get_max_threads();
 #else
@@ -338,66 +339,11 @@ void radix_sort_kv(std::vector<uint64_t> &keys, std::vector<int64_t> &pay,
             for (int64_t k = 0; k < n; k++) {
                 int64_t dst = h[(keys[k] >> shift) & (R - 1)]++;
                 kbuf[dst] = keys[k];
-                pbuf[dst] = pay[k];
+                if (pay) pbuf[dst] = (*pay)[k];
             }
         }
         keys.swap(kbuf);
-        pay.swap(pbuf);
-    }
-}
-
-// keys-only variant (no payload traffic: dedup paths don't need one)
-void radix_sort_keys(std::vector<uint64_t> &keys, uint64_t maxkey) {
-    const int64_t n = (int64_t)keys.size();
-    if (n <= 1) return;
-    constexpr int BITS = 11;
-    constexpr int64_t R = 1 << BITS;
-    int passes = 0;
-    while (passes * BITS < 64 && (maxkey >> (passes * BITS)) != 0)
-        passes++;
-    if (passes == 0) passes = 1;
-    std::vector<uint64_t> kbuf(n);
-#ifdef _OPENMP
-    const int nt = omp_get_max_threads();
-#else
-    const int nt = 1;
-#endif
-    std::vector<int64_t> hist((size_t)nt * R);
-    for (int p = 0; p < passes; p++) {
-        const int shift = p * BITS;
-        std::fill(hist.begin(), hist.end(), 0);
-#pragma omp parallel
-        {
-#ifdef _OPENMP
-            const int t = omp_get_thread_num();
-#else
-            const int t = 0;
-#endif
-            int64_t *h = hist.data() + (size_t)t * R;
-#pragma omp for schedule(static)
-            for (int64_t k = 0; k < n; k++)
-                h[(keys[k] >> shift) & (R - 1)]++;
-        }
-        int64_t run = 0;
-        for (int64_t dgt = 0; dgt < R; dgt++)
-            for (int t = 0; t < nt; t++) {
-                int64_t cnt = hist[(size_t)t * R + dgt];
-                hist[(size_t)t * R + dgt] = run;
-                run += cnt;
-            }
-#pragma omp parallel
-        {
-#ifdef _OPENMP
-            const int t = omp_get_thread_num();
-#else
-            const int t = 0;
-#endif
-            int64_t *h = hist.data() + (size_t)t * R;
-#pragma omp for schedule(static)
-            for (int64_t k = 0; k < n; k++)
-                kbuf[h[(keys[k] >> shift) & (R - 1)]++] = keys[k];
-        }
-        keys.swap(kbuf);
+        if (pay) pay->swap(pbuf);
     }
 }
 
@@ -422,7 +368,7 @@ int gbtpu_sort_pairs(int64_t *I, int64_t *J, int64_t n, int64_t nrows,
         pay[k] = k;
         if (key > mx) mx = key;
     }
-    radix_sort_kv(keys, pay, mx);
+    radix_sort_kv(keys, &pay, mx);
 #pragma omp parallel for schedule(static)
     for (int64_t k = 0; k < n; k++) {
         I[k] = (int64_t)(keys[k] / (uint64_t)ncols);
@@ -459,14 +405,17 @@ int64_t gbtpu_sym_dedup_pattern(int64_t *I, int64_t *J, int64_t ne,
         uint64_t m = a > b ? a : b;
         if (m > mx) mx = m;
     }
-    radix_sort_keys(keys, mx == 0 ? 1 : mx);
-    // sentinels sorted beyond every real key only if mx covers their
-    // digits — they don't: passes cover real-key bits, so sentinels
-    // keep all-ones in the covered digits and still sort last
+    radix_sort_kv(keys, nullptr, mx == 0 ? 1 : mx);
+    // passes cover only the real-key bits, so a sentinel can TIE with
+    // a real key whose covered digits are all ones and land anywhere
+    // among its equals — skip sentinels and dedup against the last
+    // EMITTED key, never positional neighbours
     int64_t out = 0;
+    uint64_t last = SENT;   // real keys < n*n <= 2^62 < SENT
     for (size_t k = 0; k < keys.size(); k++) {
-        if (keys[k] == SENT) break;
-        if (k && keys[k] == keys[k - 1]) continue;
+        if (keys[k] == SENT) continue;
+        if (out && keys[k] == last) continue;
+        last = keys[k];
         I[out] = (int64_t)(keys[k] / (uint64_t)n);
         J[out] = (int64_t)(keys[k] % (uint64_t)n);
         out++;

@@ -150,7 +150,9 @@ def test_multi_level_slabs(rng):
     A = _csr(I, J, n)
     L, U = tricount_prep_csr(A)
     old_rem, old_lanes = bd._MIN_LEVEL_REM, bd._MIN_LANES
+    old_cov = bd._MIN_LEVEL_COVER
     bd._MIN_LEVEL_REM, bd._MIN_LANES = 1, 1
+    bd._MIN_LEVEL_COVER = 1
     try:
         # tiny budget -> small W -> many levels
         plan = build_bitdot_plan(L, L, U, budget_bytes=4 * (2 * n) * 24,
@@ -166,3 +168,4 @@ def test_multi_level_slabs(rng):
         assert plan.covered_lanes >= lv_cov
     finally:
         bd._MIN_LEVEL_REM, bd._MIN_LANES = old_rem, old_lanes
+        bd._MIN_LEVEL_COVER = old_cov

@@ -10,6 +10,8 @@ import jax
 import graphblas_tpu as gb
 from graphblas_tpu import parallel as par
 from graphblas_tpu.parallel import introspect
+
+introspect.enable()
 from graphblas_tpu.sparse import CsrMatrix
 
 

@@ -165,3 +165,16 @@ def test_native_sym_dedup_matches_numpy():
     lin = np.unique(np.concatenate([I[k] * n + J[k], J[k] * n + I[k]]))
     assert np.array_equal(r[0], lin // n)
     assert np.array_equal(r[1], lin % n)
+
+
+def test_native_sym_dedup_sentinel_tie_regression():
+    """Radix passes cover only real-key bits, so the self-loop sentinel
+    can tie with an all-ones real key; the output scan must skip, not
+    break (round-4 review finding)."""
+    import numpy as np
+    from graphblas_tpu.io.native import sym_dedup_native
+    r = sym_dedup_native(np.array([5, 44]), np.array([5, 23]), 46)
+    if r is None:
+        import pytest
+        pytest.skip("native library not built")
+    assert set(zip(r[0].tolist(), r[1].tolist())) == {(44, 23), (23, 44)}
