@@ -32,7 +32,11 @@ _jax.config.update("jax_enable_x64", True)
 # not once per process (VERDICT r3 missing #5 — scale-20 tricount paid
 # 400 s cold vs 134 s warm).  Opt out with GBTPU_NO_COMPILE_CACHE=1;
 # relocate with GBTPU_CACHE_DIR.
-if not _os.environ.get("GBTPU_NO_COMPILE_CACHE"):
+if not _os.environ.get("GBTPU_NO_COMPILE_CACHE") \
+        and "cpu" not in _os.environ.get("JAX_PLATFORMS", "").lower():
+    # (skipped under forced-CPU runs: XLA:CPU AOT cache entries record
+    # host-feature sets that vary across processes and can reload with
+    # mismatched features — the cache's payoff is the TPU cold start)
     _cache = _os.environ.get(
         "GBTPU_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache",
