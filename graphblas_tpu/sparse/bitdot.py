@@ -333,8 +333,24 @@ def _ref(x):
         return lambda: x
 
 
-def _cached_plan(M: CsrMatrix, A: CsrMatrix,
-                 B: CsrMatrix) -> Optional[BitdotPlan]:
+def _auto_budget() -> int:
+    """Panel budget bounded by what the device actually has free —
+    a fixed budget OOMs when containers/workspace already hold
+    several GB (k-truss at scale: the symmetric mask + per-iteration
+    rebuilds).  Falls back to the static budget off-TPU."""
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        free = int(st["bytes_limit"]) - int(st["bytes_in_use"])
+        # leave room for the sort workspace (~2.7 GB at the lane cap)
+        # and transient gather chunks
+        return max(min(_PANEL_BUDGET, int(free * 0.5)), 1 << 28)
+    except Exception:
+        return _PANEL_BUDGET
+
+
+def _cached_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
+                 budget_bytes: Optional[int] = None
+                 ) -> Optional[BitdotPlan]:
     """Per-(M, A, B) pattern plan cache, stored on M like the ESC plan
     cache (``esc.py``): the panels depend only on the operand patterns,
     so repeated calls (bench loops, PageRank-style iteration) skip the
@@ -344,14 +360,18 @@ def _cached_plan(M: CsrMatrix, A: CsrMatrix,
         ra, rb, plan = entry
         if ra() is A.indices and rb() is B.indices:
             return None if plan is _NO_PLAN else plan
-    plan = build_bitdot_plan(M, A, B)
+    if budget_bytes is None:
+        budget_bytes = _auto_budget()
+    plan = build_bitdot_plan(M, A, B, budget_bytes=budget_bytes)
     M._options["bitdot_plan"] = (_ref(A.indices), _ref(B.indices),
                                  _NO_PLAN if plan is None else plan)
     return plan
 
 
 def masked_pair_counts_auto(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
-                            chunk: Optional[int] = None) -> jnp.ndarray:
+                            chunk: Optional[int] = None,
+                            budget_bytes: Optional[int] = None
+                            ) -> jnp.ndarray:
     """counts[e] = (A.B)[i_e, j_e] over PLUS_PAIR, with automatic
     heavy/light splitting (the GB_AxB_select analogue for counting):
     bitmaps for the heavy wedge-middle columns, sort-merge for the
@@ -360,7 +380,7 @@ def masked_pair_counts_auto(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
     from .tri import masked_pair_counts, _LANE_CAP
     from ..ops.flopcount import record_axb_method
     kw = {} if chunk is None else {"chunk": chunk}
-    plan = _cached_plan(M, A, B)
+    plan = _cached_plan(M, A, B, budget_bytes)
     if plan is None:
         counts = masked_pair_counts(M, A, B, **kw)
         record_axb_method("tri:sort_merge")

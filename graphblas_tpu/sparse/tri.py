@@ -364,7 +364,10 @@ def ktruss_esc(A: CsrMatrix, k: int, chunk: int = _LANE_CAP,
     counts = jnp.zeros((A.nzmax,), jnp.int32)
     while nsteps < max_iters:
         nsteps += 1
-        counts = masked_pair_counts_auto(A, A, A, chunk)
+        # conservative panel budget: the symmetric mask + the previous
+        # iteration's containers are all resident during the sweep
+        counts = masked_pair_counts_auto(A, A, A, chunk,
+                                         budget_bytes=2 << 30)
         keep = counts >= (k - 2)
         B = csr_filter_lanes(A, keep)
         if B.nvals == last:
