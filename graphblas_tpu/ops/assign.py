@@ -90,6 +90,8 @@ def assign(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     require_container(M, "assign mask", none_ok=True)
     if not scalar:
         require_container(A, "assign input A")
+    from ..core.resolve import resolve_accum
+    accum = resolve_accum(accum, "assign accum", None, C, A)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
     from ..sparse.hyper_csc import HyperCscMatrix
@@ -152,6 +154,13 @@ def subassign(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     entries outside C(I,J) are never modified (``GB_spec_subassign.m``).
 
     A sparse-container ``C`` routes to the O(nnz) sparse forms."""
+    from .containers import require_container
+    require_container(C, "subassign output C")
+    require_container(M, "subassign mask", none_ok=True)
+    if not scalar:
+        require_container(A, "subassign input A")
+    from ..core.resolve import resolve_accum
+    accum = resolve_accum(accum, "subassign accum", None, C, A)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
     from ..sparse.hyper_csc import HyperCscMatrix

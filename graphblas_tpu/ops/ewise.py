@@ -177,8 +177,9 @@ def eWiseAdd(C, M, accum: Optional[BinaryOp], op: BinaryOp,
     """C<M> = accum(C, A+B): set-union merge (reference ``GrB_eWiseAdd``)."""
     _require_ewise_args(C, M, A, B, "eWiseAdd")
     d = desc_of(desc)
-    op = getattr(op, "mult", op)  # semiring/monoid accepted per spec
-    op = getattr(op, "op", op)
+    from ..core.resolve import resolve_accum, resolve_binary
+    op = resolve_binary(op, "eWiseAdd op", None, A, B, C)
+    accum = resolve_accum(accum, "eWiseAdd accum", None, C, A)
     return _dispatch_ewise(C, M, accum, op, A, B, d, union=True)
 
 
@@ -188,8 +189,9 @@ def eWiseMult(C, M, accum: Optional[BinaryOp], op: BinaryOp,
     """C<M> = accum(C, A.*B): intersection merge (``GrB_eWiseMult``)."""
     _require_ewise_args(C, M, A, B, "eWiseMult")
     d = desc_of(desc)
-    op = getattr(op, "mult", op)
-    op = getattr(op, "op", op)
+    from ..core.resolve import resolve_accum, resolve_binary
+    op = resolve_binary(op, "eWiseMult op", None, A, B, C)
+    accum = resolve_accum(accum, "eWiseMult accum", None, C, A)
     return _dispatch_ewise(C, M, accum, op, A, B, d, union=False)
 
 
@@ -205,6 +207,9 @@ def apply(C, M, accum: Optional[BinaryOp], op: UnaryOp, A,
     require_container(C, "apply output C")
     require_container(M, "apply mask", none_ok=True)
     require_container(A, "apply input A")
+    from ..core.resolve import resolve_accum, resolve_unary
+    op = resolve_unary(op, "apply op", None, A, C)
+    accum = resolve_accum(accum, "apply accum", None, C, A)
     d = desc_of(desc)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
@@ -277,6 +282,9 @@ def select(C, M, accum: Optional[BinaryOp], op: SelectOp, A,
     require_container(C, "select output C")
     require_container(M, "select mask", none_ok=True)
     require_container(A, "select input A")
+    from ..core.resolve import resolve_accum, resolve_select
+    op = resolve_select(op, "select op")
+    accum = resolve_accum(accum, "select accum", None, C, A)
     d = desc_of(desc)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix

@@ -405,6 +405,9 @@ def mxm(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     require_container(M, "mxm mask", none_ok=True)
     require_container(A, "mxm input A")
     require_container(B, "mxm input B")
+    from ..core.resolve import resolve_accum, resolve_semiring
+    semiring = resolve_semiring(semiring, "mxm semiring", None, A, B, C)
+    accum = resolve_accum(accum, "mxm accum", None, C, A)
     d = desc_of(desc)
     from ..sparse.container import CsrMatrix
     from ..sparse.hyper import (HyperMatrix, hyper_accum_mask,
@@ -517,6 +520,9 @@ def mxv(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
     require_container(m, "mxv mask", none_ok=True)
     require_container(A, "mxv input A")
     require_container(u, "mxv input u")
+    from ..core.resolve import resolve_accum, resolve_semiring
+    semiring = resolve_semiring(semiring, "mxv semiring", None, A, u, w)
+    accum = resolve_accum(accum, "mxv accum", None, w, A)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.vector import SparseVec
     d = desc_of(desc)
@@ -572,6 +578,9 @@ def vxm(w: Vector, m: Optional[Vector], accum: Optional[BinaryOp],
     require_container(m, "vxm mask", none_ok=True)
     require_container(u, "vxm input u")
     require_container(A, "vxm input A")
+    from ..core.resolve import resolve_accum, resolve_semiring
+    semiring = resolve_semiring(semiring, "vxm semiring", None, u, A, w)
+    accum = resolve_accum(accum, "vxm accum", None, w, A)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.vector import SparseVec
     d = desc_of(desc)

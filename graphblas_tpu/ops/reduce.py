@@ -28,12 +28,19 @@ from ..utils import counters
 __all__ = ["reduce_to_vector", "reduce_to_scalar", "reduce"]
 
 
-def _as_monoid(op: Union[Monoid, BinaryOp]) -> Monoid:
+def _as_monoid(op: Union[Monoid, BinaryOp], *operands) -> Monoid:
+    from ..core.resolve import UnsupportedOp, resolve_monoid
+    op = resolve_monoid(op, "reduce op", None, *operands)
     if isinstance(op, Monoid):
         return op
     # a bare associative binary op: look up the matching built-in monoid
     from ..core.monoids import monoid as monoid_ns
-    return monoid_ns[op.name.lower()][op.ztype]
+    try:
+        return monoid_ns[op.name.lower()][op.ztype]
+    except (KeyError, AttributeError):
+        raise UnsupportedOp(
+            f"reduce op: {op.name} has no matching built-in monoid; "
+            "pass a Monoid (monoid_new) instead") from None
 
 
 @counters.counted("reduce_to_vector")
@@ -52,7 +59,9 @@ def reduce_to_vector(w: Vector, m: Optional[Vector],
     require_container(m, "reduce mask", none_ok=True)
     require_container(A, "reduce input A")
     d = desc_of(desc)
-    mon = _as_monoid(op)
+    from ..core.resolve import resolve_accum
+    accum = resolve_accum(accum, "reduce accum", None, w, A)
+    mon = _as_monoid(op, A, w)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
     from ..sparse.vector import SparseVec
@@ -125,7 +134,9 @@ def reduce_to_scalar(accum: Optional[BinaryOp], op: Union[Monoid, BinaryOp],
     """
     from .containers import require_container
     require_container(A, "reduce input A")
-    mon = _as_monoid(op)
+    from ..core.resolve import resolve_accum
+    accum = resolve_accum(accum, "reduce accum", None, A)
+    mon = _as_monoid(op, A)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
     from ..sparse.vector import SparseVec

@@ -43,6 +43,10 @@ def transpose(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     require_container(C, "transpose output C")
     require_container(M, "transpose mask", none_ok=True)
     require_container(A, "transpose input A")
+    from ..core.resolve import resolve_accum, resolve_unary
+    accum = resolve_accum(accum, "transpose accum", None, C, A)
+    if op is not None:
+        op = resolve_unary(op, "transpose op", None, A, C)
     d = desc_of(desc)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
@@ -131,6 +135,9 @@ def kron(C: Matrix, M: Optional[Matrix], accum: Optional[BinaryOp],
     require_container(M, "kron mask", none_ok=True)
     require_container(A, "kron input A")
     require_container(B, "kron input B")
+    from ..core.resolve import resolve_accum, resolve_binary
+    op = resolve_binary(op, "kron op", None, A, B, C)
+    accum = resolve_accum(accum, "kron accum", None, C, A)
     d = desc_of(desc)
     from ..sparse.container import CsrMatrix, CscMatrix
     from ..sparse.hyper import HyperMatrix
