@@ -7,10 +7,10 @@ wedge-middle columns k (measured scale-18 R-MAT: the top 32 K of 262 K
 columns carry 97% of all wedges).  This engine splits the contraction
 dimension by measured wedge weight:
 
-* **heavy k** (top ``kcut`` columns by ``indeg_A(k) * deg_B(k)``): the
+* **heavy k** (top columns by ``indeg_A(k) * deg_B(k)``): the
   membership of each selected k in A's rows and B's columns is packed
-  into per-row **bitmaps** of ``W = kcut/32`` uint32 words.  The masked
-  dot for mask entry (i, j) over the heavy slab is then
+  into per-row **bitmaps** of ``W`` uint32 words.  The masked dot for
+  mask entry (i, j) over the packed slab is then
 
       counts[i,j] = popcount( Apack[i, :] & Bpack[j, :] )
 
@@ -21,6 +21,23 @@ dimension by measured wedge weight:
 * **light k** (the residual): the remaining A entries go through the
   sort-merge engine, whose lane count is now only the uncovered wedge
   fraction (3% at scale 18).
+
+**Row-compacted (hypersparse) panels** (round 5): a slab's panel keeps
+only rows that own at least one selected bit, reached through an
+(m,)-sized row->panel indirection — one extra cheap int32 gather per
+mask entry.  At scale 22 (n = 4.19 M) dense panel rows collapsed the
+budget to W=80 over 13 levels and a 4.6 G-lane sort residual dominated
+(932 s); with live-row compaction the affordable W multiplies by the
+inverse live fraction.  This is the hypersparse insight of
+``GB_matrix.h:41-132`` applied to the engine's own workspace.
+
+**Incremental liveness** (round 5): plans built with
+``keep_entry_lists=True`` remember, per slab, the original A/B entry id
+behind every packed bit, so :func:`bitdot_counts` can re-pack the slabs
+under a per-entry ``alive`` mask — no host re-selection, no container
+rebuild.  The k-truss sweep (``sparse/tri.py``) prunes edges by ANDing
+liveness into the cached plan (the ``ktruss_graphblas.c:10-136`` loop
+whose per-iteration cost is one masked product, not a re-plan).
 
 This is the TPU answer to the reference's any-pattern masked dot
 (``GB_AxB_dot.c:10-27``, ``Template/GB_AxB_dot_mask.c``): the reference
@@ -45,8 +62,8 @@ import numpy as np
 
 from .container import CsrMatrix
 
-__all__ = ["BitdotPlan", "build_bitdot_plan", "bitdot_counts",
-           "masked_pair_counts_auto"]
+__all__ = ["BitdotPlan", "PackLevel", "build_bitdot_plan",
+           "bitdot_counts", "masked_pair_counts_auto"]
 
 #: per-dispatch mask-edge chunk is sized so the two gathered (chunk, W)
 #: uint32 panels stay under ~1 GB even if XLA materializes them
@@ -72,30 +89,40 @@ _MIN_LEVEL_REM = 1 << 25
 #: transient build + gather pass
 _MIN_LEVEL_COVER = 1 << 24
 
+#: use a row->panel indirection only when the live-row fraction is
+#: below this (otherwise the map gather buys nothing)
+_COMPACT_FRAC = 0.75
+
 
 class PackLevel(NamedTuple):
-    """A transient bitmap slab (levels 2+): the selected entries are
-    stored compactly and the (m, W)/(n, W) panels are built, used, and
-    freed inside each counts call — multi-level slabs reach deep into
-    the wedge-weight tail without holding more than one panel pair in
-    HBM (the level-1 pair, which IS cached)."""
-    W: int
-    a_rows: jnp.ndarray       # compact A entries with k in this slab
-    a_slots: jnp.ndarray
-    b_js: jnp.ndarray         # compact B entries with k in this slab
+    """One bitmap slab of selected contraction columns.  The first
+    level's packed panels are cached on the plan; every level's compact
+    entry lists allow transient (re)packing — levels 2+ are built, used
+    and freed inside each counts call so peak HBM is one extra pair."""
+    W: int                    # uint32 words per panel row
+    na: int                   # panel rows (A side; < m when compacted)
+    nb: int                   # panel rows (B side)
+    a_rows: jnp.ndarray       # PANEL row per selected A entry
+    a_slots: jnp.ndarray      # bit slot per selected A entry (-1 pad)
+    a_eids: jnp.ndarray       # original A padded-lane id per entry
+    b_js: jnp.ndarray         # PANEL row per selected B entry
     b_slots: jnp.ndarray
+    b_eids: jnp.ndarray       # original B padded-lane id per entry
+    amap: Optional[jnp.ndarray]  # (m,) orig row -> panel row / -1
+    bmap: Optional[jnp.ndarray]  # (n,) orig col -> panel row / -1
     covered: int              # wedges this slab handles
 
 
 class BitdotPlan(NamedTuple):
-    Apack: jnp.ndarray        # (m, W) uint32 — bit s set iff (i, ksel[s]) in A
-    Bpack: jnp.ndarray        # (n, W) uint32 — bit s set iff (ksel[s], j) in B
+    Apack: jnp.ndarray        # packed level-1 A panel (cached)
+    Bpack: jnp.ndarray        # packed level-1 B panel (cached)
     A_light: CsrMatrix        # residual A entries (k in NO slab)
     W: int                    # words per row (level 1)
     kcut: int                 # selected columns, all levels
     covered_lanes: int        # wedges handled by all bitmap levels
     light_lanes: int          # wedges left for the sort-merge engine
-    levels: tuple = ()        # PackLevel slabs 2+
+    levels: tuple = ()        # ALL PackLevel slabs (level 1 first)
+    light_eids: Optional[jnp.ndarray] = None  # orig eid per light lane
 
     @property
     def panel_bytes(self) -> int:
@@ -126,22 +153,145 @@ def _pack_jit(nrows: int, W: int, rows, slots, live):
             .reshape(nrows, W))
 
 
+def _round8(w: int) -> int:
+    return max((w // 8) * 8, 0)
+
+
+class _SlabSel(NamedTuple):
+    """Host-side selection of one slab (before device-ification)."""
+    kcut: int
+    na: int
+    nb: int
+    a_idx: np.ndarray         # indices into the host entry arrays (A)
+    a_slots: np.ndarray
+    b_idx: np.ndarray
+    b_slots: np.ndarray
+    amap: Optional[np.ndarray]
+    bmap: Optional[np.ndarray]
+    covered: int
+
+
+def _select_slab(bud: int, sel_start: int, want_cols: int,
+                 order, csum, kk: int, m: int, n: int,
+                 a_rows, a_cols, b_rows, b_cols) -> Optional[_SlabSel]:
+    """Pick the widest slab of columns order[sel_start:...] whose
+    row-compacted panel pair fits ``bud`` bytes.  Live-row counts grow
+    with the slab, so probe, then grow/shrink to the fixpoint."""
+    if want_cols <= 0:
+        return None
+
+    def live(kcand):
+        ksel = order[sel_start:sel_start + kcand]
+        pos = np.full(kk, -1, np.int32)
+        pos[ksel] = np.arange(kcand, dtype=np.int32)
+        am = pos[a_cols] >= 0
+        bm = pos[b_rows] >= 0
+        ra = np.unique(a_rows[am])
+        rb = np.unique(b_cols[bm])
+        return pos, am, bm, ra, rb
+
+    def mem(kcand, na, nb):
+        W = _round8((kcand + 31) // 32 + 7)
+        return 4 * max(W, 8) * (na + nb), max(W, 8)
+
+    # probe at dense-rows width, then retry at the live-row width
+    wcap = _round8(bud // (4 * (m + n)))
+    kcand = min(32 * max(wcap, 8), want_cols)
+    pos, am, bm, ra, rb = live(kcand)
+    na = len(ra) if len(ra) < _COMPACT_FRAC * m else m
+    nb = len(rb) if len(rb) < _COMPACT_FRAC * n else n
+    for _ in range(3):
+        bytes_, W = mem(kcand, na, nb)
+        grow = min(32 * _round8(bud // (4 * (na + nb))), want_cols)
+        if bytes_ <= bud and grow <= kcand:
+            break
+        if bytes_ > bud and grow >= kcand:
+            break                      # fixpoint within rounding
+        kcand = max(grow, 256) if grow > 0 else kcand
+        if grow <= 0:
+            return None
+        pos, am, bm, ra, rb = live(kcand)
+        na = len(ra) if len(ra) < _COMPACT_FRAC * m else m
+        nb = len(rb) if len(rb) < _COMPACT_FRAC * n else n
+    bytes_, W = mem(kcand, na, nb)
+    if bytes_ > bud:
+        # final conservative shrink with the measured live rows
+        kcand = 32 * _round8(bud // (4 * (na + nb)))
+        if kcand < 32:
+            return None
+        kcand = min(kcand, want_cols)
+        pos, am, bm, ra, rb = live(kcand)
+        na = len(ra) if len(ra) < _COMPACT_FRAC * m else m
+        nb = len(rb) if len(rb) < _COMPACT_FRAC * n else n
+    if kcand <= 0:
+        return None
+    covered = int(csum[sel_start + kcand - 1]) - (
+        int(csum[sel_start - 1]) if sel_start else 0)
+    amap = bmap = None
+    if na < m:
+        amap = np.full(m, -1, np.int32)
+        amap[ra] = np.arange(len(ra), dtype=np.int32)
+        arow_panel = amap[a_rows[am]]
+    else:
+        arow_panel = a_rows[am].astype(np.int32)
+    if nb < n:
+        bmap = np.full(n, -1, np.int32)
+        bmap[rb] = np.arange(len(rb), dtype=np.int32)
+        bj_panel = bmap[b_cols[bm]]
+    else:
+        bj_panel = b_cols[bm].astype(np.int32)
+    return _SlabSel(kcand, na, nb,
+                    np.nonzero(am)[0], pos[a_cols[am]],
+                    np.nonzero(bm)[0], pos[b_rows[bm]],
+                    amap, bmap, covered), arow_panel, bj_panel
+
+
+def _device_level(sel: _SlabSel, arow_panel, bj_panel,
+                  keep_entry_lists: bool) -> PackLevel:
+    from .esc import _bucket
+    na_e, nb_e = len(sel.a_idx), len(sel.b_idx)
+    ca, cb = _bucket(max(na_e, 8), 128), _bucket(max(nb_e, 8), 128)
+    ar = np.zeros(ca, np.int32); ar[:na_e] = arow_panel
+    asl = np.full(ca, -1, np.int32); asl[:na_e] = sel.a_slots
+    bj = np.zeros(cb, np.int32); bj[:nb_e] = bj_panel
+    bsl = np.full(cb, -1, np.int32); bsl[:nb_e] = sel.b_slots
+    z = jnp.zeros((0,), jnp.int32)
+    aei = bei = z
+    if keep_entry_lists:
+        ae = np.zeros(ca, np.int32); ae[:na_e] = sel.a_idx
+        be = np.zeros(cb, np.int32); be[:nb_e] = sel.b_idx
+        aei, bei = jnp.asarray(ae), jnp.asarray(be)
+    W = max(_round8((sel.kcut + 31) // 32 + 7), 8)
+    return PackLevel(
+        W, sel.na, sel.nb,
+        jnp.asarray(ar), jnp.asarray(asl), aei,
+        jnp.asarray(bj), jnp.asarray(bsl), bei,
+        None if sel.amap is None else jnp.asarray(sel.amap),
+        None if sel.bmap is None else jnp.asarray(sel.bmap),
+        sel.covered)
+
+
 def build_bitdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
                       budget_bytes: Optional[int] = None,
                       cover_target: float = 0.995,
                       min_lanes: Optional[int] = None,
                       max_levels: int = 24,
+                      keep_entry_lists: bool = False,
                       ) -> Optional[BitdotPlan]:
     """Host-side plan for counts[e] = (A.B)[i_e, j_e] over PLUS_PAIR.
 
     Selects the heavy contraction columns by exact wedge weight
     ``indeg_A(k) * deg_B(k)`` (the per-column flop count of
-    ``GB_AxB_flopcount.c``) into up to ``max_levels`` bitmap slabs —
-    the first is packed now and cached, the rest are stored as compact
-    entry lists and packed transiently per call — and compacts the
-    residual A entries for the sort-merge engine.  Returns None when
-    the bitmaps can't cover enough wedges to pay.
-    """
+    ``GB_AxB_flopcount.c``) into up to ``max_levels`` row-compacted
+    bitmap slabs — the first is packed now and cached, the rest are
+    stored as compact entry lists and packed transiently per call — and
+    compacts the residual A entries for the sort-merge engine.  Returns
+    None when the bitmaps can't cover enough wedges to pay.
+
+    ``keep_entry_lists=True`` additionally keeps the level-1 entry
+    lists and the residual's original entry ids on device, enabling
+    liveness re-packing (:func:`bitdot_counts` ``alive_*``) for
+    incremental sweeps (k-truss)."""
     from .esc import _bucket
     # late-bind the tunables so monkeypatched module globals (tests)
     # and env overrides take effect at call time, not def time
@@ -164,79 +314,50 @@ def build_bitdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
     order = np.argsort(score)[::-1]
     csum = np.cumsum(score[order])
     nnzk = int((score > 0).sum())
-    kneed = int(np.searchsorted(csum, cover_target * total)) + 1
-    kneed = min(kneed, nnzk)
-    # level 1 is cached across calls; extra levels are transient but
-    # coexist with it at peak — split the budget between the two
-    wmax_mem = (budget_bytes // 2) // (4 * (m + n))
-    if wmax_mem < 8:
-        return None          # even W=8 panels would blow the budget
-    W = min((kneed + 31) // 32, wmax_mem)
-    W = max(W, 1)
-    # round W to a multiple of 8 (256-bit rows) for clean layout
-    W = ((W + 7) // 8) * 8
-    W = min(W, wmax_mem) if wmax_mem >= 8 else W
-    kcut = min(32 * W, nnzk)
+    kneed = min(int(np.searchsorted(csum, cover_target * total)) + 1,
+                nnzk)
 
-    # ---- plan ALL slabs on the host first, then gate on the TOTAL
-    # coverage (at huge n the per-level W is small, but many cheap
-    # levels still reach deep into the tail — round-4 scale-22 fix:
-    # gating on level 1 alone refused the whole engine) ----
-    wl_max = (budget_bytes - 4 * W * (m + n)) // (4 * (m + n))
-    wl_max = (wl_max // 8) * 8
-    level_cuts = []
-    sel_end = kcut
-    while (wl_max >= 8 and len(level_cuts) + 1 < max_levels
-           and sel_end < nnzk):
-        rem = total - int(csum[sel_end - 1])
-        if rem <= max(min_lanes, _MIN_LEVEL_REM):
+    levels = []
+    sel_end = 0
+    sel_any = np.zeros(kk, bool)
+    while len(levels) < max_levels and sel_end < kneed:
+        rem = total - (int(csum[sel_end - 1]) if sel_end else 0)
+        if sel_end and rem <= max(min_lanes, _MIN_LEVEL_REM):
             break
-        kcut_l = min(32 * wl_max, nnzk - sel_end)
-        cov_l = int(csum[sel_end + kcut_l - 1]) - int(csum[sel_end - 1])
-        # a level pays when it removes more sort work than its own
-        # build+pass (absolute floor ~2^24 lanes)
-        if (cov_l < max(_MIN_LEVEL_COVER, 0.05 * rem)
-                and rem - cov_l > _MIN_LEVEL_REM):
+        bud = budget_bytes // 2
+        got = _select_slab(bud, sel_end, kneed - sel_end, order, csum,
+                           kk, m, n, a_rows, a_cols, b_rows, b_cols)
+        if got is None:
             break
-        level_cuts.append((sel_end, kcut_l, cov_l))
-        sel_end += kcut_l
+        sel, arow_panel, bj_panel = got
+        if sel_end:
+            # an extra level pays only when it removes more sort work
+            # than its own transient build + gather pass
+            if (sel.covered < max(_MIN_LEVEL_COVER, 0.05 * rem)
+                    and rem - sel.covered > _MIN_LEVEL_REM):
+                break
+        levels.append(_device_level(sel, arow_panel, bj_panel,
+                                    keep_entry_lists))
+        sel_any[order[sel_end:sel_end + sel.kcut]] = True
+        sel_end += sel.kcut
+    if not levels:
+        return None
     covered_all = int(csum[sel_end - 1])
     if covered_all < _MIN_COVER * total:
         return None
 
-    ksel = order[:kcut]
-    pos = np.full(kk, -1, np.int32)
-    pos[ksel] = np.arange(kcut, dtype=np.int32)
-    pos_dev = jnp.asarray(pos)
+    lv0 = levels[0]
+    Apack = _pack_jit(lv0.na, lv0.W, lv0.a_rows, lv0.a_slots,
+                      lv0.a_slots >= 0)
+    Bpack = _pack_jit(lv0.nb, lv0.W, lv0.b_js, lv0.b_slots,
+                      lv0.b_slots >= 0)
+    if not keep_entry_lists:
+        # drop the level-1 lists: tricount-style one-shot callers never
+        # re-pack level 1, and at scale the lists are O(nnz) device HBM
+        z = jnp.zeros((0,), jnp.int32)
+        levels[0] = lv0._replace(a_rows=z, a_slots=z, a_eids=z,
+                                 b_js=z, b_slots=z, b_eids=z)
 
-    a_live = jnp.arange(A.nzmax) < A.nvals
-    a_slot = pos_dev[jnp.clip(A.indices, 0, kk - 1)]
-    Apack = _pack_jit(m, W, A.rowids, a_slot, a_live)
-    b_live = jnp.arange(B.nzmax) < B.nvals
-    b_slot = pos_dev[jnp.clip(B.rowids, 0, kk - 1)]
-    Bpack = _pack_jit(n, W, B.indices, b_slot, b_live)
-
-    levels = []
-    for ls, kcut_l, cov_l in level_cuts:
-        ksel_l = order[ls:ls + kcut_l]
-        pos_l = np.full(kk, -1, np.int32)
-        pos_l[ksel_l] = np.arange(kcut_l, dtype=np.int32)
-        am = pos_l[a_cols] >= 0
-        bm = pos_l[b_rows] >= 0
-        na, nb = int(am.sum()), int(bm.sum())
-        ca, cb = _bucket(max(na, 8), 128), _bucket(max(nb, 8), 128)
-        ar = np.zeros(ca, np.int32); ar[:na] = a_rows[am]
-        asl = np.full(ca, -1, np.int32); asl[:na] = pos_l[a_cols[am]]
-        bj = np.zeros(cb, np.int32); bj[:nb] = b_cols[bm]
-        bsl = np.full(cb, -1, np.int32); bsl[:nb] = pos_l[b_rows[bm]]
-        Wl = (kcut_l + 31) // 32
-        Wl = ((Wl + 7) // 8) * 8
-        levels.append(PackLevel(Wl, jnp.asarray(ar), jnp.asarray(asl),
-                                jnp.asarray(bj), jnp.asarray(bsl),
-                                cov_l))
-    kcut_all = sel_end
-    sel_any = np.zeros(kk, bool)
-    sel_any[order[:sel_end]] = True
     keep = np.zeros(A.nzmax, bool)
     keep[:A.nvals] = ~sel_any[a_cols]
     from .tri import csr_filter_lanes
@@ -245,8 +366,15 @@ def build_bitdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
     # compaction) so the sort-merge engine can row-slice the mask
     lk = keep[:A.nvals]
     A_light._options["host_pattern"] = (a_rows[lk], a_cols[lk])
-    return BitdotPlan(Apack, Bpack, A_light, W, kcut_all,
-                      covered_all, total - covered_all, tuple(levels))
+    light_eids = None
+    if keep_entry_lists:
+        le = np.zeros(A_light.nzmax, np.int32)
+        nl = int(lk.sum())
+        le[:nl] = np.nonzero(lk)[0]
+        light_eids = jnp.asarray(le)
+    return BitdotPlan(Apack, Bpack, A_light, levels[0].W, sel_end,
+                      covered_all, total - covered_all, tuple(levels),
+                      light_eids)
 
 
 def _shrink(X: CsrMatrix) -> CsrMatrix:
@@ -261,13 +389,15 @@ def _shrink(X: CsrMatrix) -> CsrMatrix:
                      X.nvals, X.nrows, X.ncols, X.type)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _bitdot_jit(nchunk: int, chunk: int, Apack, Bpack, rowids, indices,
-                nvals):
-    """popcount(Apack[i] & Bpack[j]) per mask entry, streamed in
-    bounded-memory chunks via lax.map (ONE program per call)."""
-    m = Apack.shape[0]
-    n = Bpack.shape[0]
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _bitdot_jit(nchunk: int, chunk: int, has_amap: bool, has_bmap: bool,
+                Apack, Bpack, amap, bmap, rowids, indices, nvals):
+    """popcount(Apack[amap[i]] & Bpack[bmap[j]]) per mask entry,
+    streamed in bounded-memory chunks via lax.map (ONE program per
+    call).  Rows outside the compacted panel (map == -1) own no
+    selected bits and contribute 0."""
+    na = Apack.shape[0]
+    nb = Bpack.shape[0]
     E = nchunk * chunk
     t = jnp.arange(E, dtype=jnp.int32)
     live = t < nvals
@@ -275,21 +405,26 @@ def _bitdot_jit(nchunk: int, chunk: int, Apack, Bpack, rowids, indices,
                    .astype(jnp.int32), 0)
     jj = jnp.where(live, jnp.pad(indices, (0, E - indices.shape[0]))[:E]
                    .astype(jnp.int32), 0)
-    ii = jnp.clip(ii, 0, m - 1).reshape(nchunk, chunk)
-    jj = jnp.clip(jj, 0, n - 1).reshape(nchunk, chunk)
+    if has_amap:
+        ii = amap[jnp.clip(ii, 0, amap.shape[0] - 1)]
+    if has_bmap:
+        jj = bmap[jnp.clip(jj, 0, bmap.shape[0] - 1)]
+    ok = (ii >= 0) & (jj >= 0) & live
+    ii = jnp.clip(ii, 0, na - 1).reshape(nchunk, chunk)
+    jj = jnp.clip(jj, 0, nb - 1).reshape(nchunk, chunk)
+    okc = ok.reshape(nchunk, chunk)
 
     def body(args):
-        i, j = args
+        i, j, o = args
         a = jnp.take(Apack, i, axis=0)
         b = jnp.take(Bpack, j, axis=0)
         c = jax.lax.population_count(a & b).astype(jnp.int32)
-        return jnp.sum(c, axis=1, dtype=jnp.int32)
+        return jnp.where(o, jnp.sum(c, axis=1, dtype=jnp.int32), 0)
 
-    out = jax.lax.map(body, (ii, jj)).reshape(E)
-    return jnp.where(live, out, 0)
+    return jax.lax.map(body, (ii, jj, okc)).reshape(E)
 
 
-def _bitdot_pass(Apack, Bpack, M: CsrMatrix) -> jnp.ndarray:
+def _bitdot_pass(Apack, Bpack, amap, bmap, M: CsrMatrix) -> jnp.ndarray:
     """One gather+AND+popcount pass of a packed slab pair over M."""
     from .esc import _bucket
     E = M.nzmax
@@ -297,29 +432,61 @@ def _bitdot_pass(Apack, Bpack, M: CsrMatrix) -> jnp.ndarray:
     chunk = max(1 << 12, min(_bucket(E, 1 << 12),
                              _CHUNK_WORDS // max(W, 1)))
     nchunk = (E + chunk - 1) // chunk
-    return _bitdot_jit(nchunk, chunk, Apack, Bpack,
+    dummy = jnp.zeros((1,), jnp.int32)
+    return _bitdot_jit(nchunk, chunk, amap is not None, bmap is not None,
+                       Apack, Bpack,
+                       dummy if amap is None else amap,
+                       dummy if bmap is None else bmap,
                        M.rowids, M.indices, M.nvals)[:E]
 
 
-def bitdot_counts(plan: BitdotPlan, M: CsrMatrix) -> jnp.ndarray:
+def _level_live(lv: PackLevel, alive_a, alive_b):
+    la = lv.a_slots >= 0
+    lb = lv.b_slots >= 0
+    if alive_a is not None:
+        la = la & alive_a[jnp.clip(lv.a_eids, 0,
+                                   alive_a.shape[0] - 1)]
+    if alive_b is not None:
+        lb = lb & alive_b[jnp.clip(lv.b_eids, 0,
+                                   alive_b.shape[0] - 1)]
+    return la, lb
+
+
+def bitdot_counts(plan: BitdotPlan, M: CsrMatrix,
+                  alive_a=None, alive_b=None) -> jnp.ndarray:
     """Heavy-slab counts per M padded entry: the cached level-1 panels
     plus one transient build+pass per extra slab (panels freed as soon
-    as the pass is enqueued — peak HBM is one extra pair)."""
-    counts = _bitdot_pass(plan.Apack, plan.Bpack, M)
-    m = plan.Apack.shape[0]
-    n = plan.Bpack.shape[0]
+    as the pass is enqueued — peak HBM is one extra pair).
+
+    ``alive_a`` / ``alive_b``: optional bool lane masks over A's / B's
+    padded entries; dead entries' bits are dropped at (re)pack time
+    (requires a plan built with ``keep_entry_lists=True``)."""
+    use_alive = alive_a is not None or alive_b is not None
+    counts = None
     # large transient panels must not pile up: dispatch is async, so
     # without a drain every level's pair would be live at once (OOM at
     # scale 22).  One scalar pull per level is the FIFO barrier.
-    big = 4 * (m + n) * max((lv.W for lv in plan.levels), default=0)
+    big = max((4 * lv.W * (lv.na + lv.nb) for lv in plan.levels[1:]),
+              default=0)
     sync_each = big > (1 << 29)
-    for lv in plan.levels:
-        Ap = _pack_jit(m, lv.W, lv.a_rows, lv.a_slots, lv.a_slots >= 0)
-        Bp = _pack_jit(n, lv.W, lv.b_js, lv.b_slots, lv.b_slots >= 0)
-        counts = counts + _bitdot_pass(Ap, Bp, M)
-        del Ap, Bp
-        if sync_each:
-            jax.device_get(counts[0])      # drain the pipeline
+    for li, lv in enumerate(plan.levels):
+        if li == 0 and not use_alive:
+            Ap, Bp = plan.Apack, plan.Bpack
+        else:
+            if lv.a_rows.shape[0] == 0 or (
+                    use_alive and lv.a_eids.shape[0] == 0):
+                raise ValueError(
+                    "liveness re-packing needs a plan built with "
+                    "keep_entry_lists=True")
+            la, lb = _level_live(lv, alive_a, alive_b)
+            Ap = _pack_jit(lv.na, lv.W, lv.a_rows, lv.a_slots, la)
+            Bp = _pack_jit(lv.nb, lv.W, lv.b_js, lv.b_slots, lb)
+        c = _bitdot_pass(Ap, Bp, lv.amap, lv.bmap, M)
+        counts = c if counts is None else counts + c
+        if li > 0:
+            del Ap, Bp
+            if sync_each:
+                jax.device_get(counts[0])      # drain the pipeline
     return counts
 
 

@@ -347,27 +347,84 @@ def csr_triu(A: CsrMatrix, k: int = 1) -> CsrMatrix:
     return csr_filter_lanes(A, d >= k)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _compact_lanes_jit(nz: int, vals, keep):
+    """Compact vals[keep] to the front (same order csr_filter_lanes
+    uses), zeros elsewhere."""
+    r = (jnp.cumsum(keep) - 1).astype(jnp.int32)
+    tgt = jnp.where(keep, r, nz + 1)
+    return jnp.zeros((nz + 2,), vals.dtype).at[tgt].set(
+        vals, mode="drop")[:nz]
+
+
 def ktruss_esc(A: CsrMatrix, k: int, chunk: int = _LANE_CAP,
-               max_iters: int = 1000) -> Tuple[CsrMatrix, jnp.ndarray,
-                                               int]:
-    """Sparse k-truss at CSR scale (``ktruss_graphblas.c`` loop):
+               max_iters: int = 1000,
+               budget_bytes: Optional[int] = None
+               ) -> Tuple[CsrMatrix, jnp.ndarray, int]:
+    """Sparse k-truss at CSR scale (``ktruss_graphblas.c:10-136`` loop):
     support[e] = |N(i) ∩ N(j)| within the truss; prune support < k-2;
     repeat to fixpoint.  Returns (truss CsrMatrix, per-entry supports
-    aligned to its padded order, nsteps)."""
+    aligned to its padded order, nsteps).
+
+    **Incremental** (round 5): the truss only shrinks, so the bitdot
+    plan is built ONCE on the full graph (``keep_entry_lists=True``)
+    and each sweep re-packs the cached slabs under a per-entry
+    liveness mask + filters the light residual on device — no host
+    re-selection, no per-sweep pack-scatter plan rebuild (the round-4
+    form re-planned every sweep: full host argsort + pack scatters,
+    223 s at scale-16 k=5 where one counting pass is ~0.3 s)."""
     if k < 3:
         raise ValueError("k must be >= 3")
-    last = A.nvals
-    if last == 0:
+    if A.nvals == 0:
         return A, jnp.zeros((A.nzmax,), jnp.int32), 0
-    from .bitdot import masked_pair_counts_auto
+    from .bitdot import _auto_budget, bitdot_counts, build_bitdot_plan
+    if budget_bytes is None:
+        budget_bytes = min(_auto_budget(), 2 << 30)
+    plan = build_bitdot_plan(A, A, A, budget_bytes=budget_bytes,
+                             keep_entry_lists=True)
+    from ..ops.flopcount import record_axb_method
+    if plan is None:
+        return _ktruss_sort_merge(A, k, chunk, max_iters)
+    record_axb_method("bitdot:ktruss_incremental")
+    lane = jnp.arange(A.nzmax)
+    alive = lane < A.nvals
+    light_lane = (jnp.arange(plan.A_light.nzmax) < plan.A_light.nvals
+                  if plan.A_light.nvals else None)
+    last = A.nvals
     nsteps = 0
     counts = jnp.zeros((A.nzmax,), jnp.int32)
     while nsteps < max_iters:
         nsteps += 1
-        # conservative panel budget: the symmetric mask + the previous
-        # iteration's containers are all resident during the sweep
-        counts = masked_pair_counts_auto(A, A, A, chunk,
-                                         budget_bytes=2 << 30)
+        counts = bitdot_counts(plan, A, alive_a=alive, alive_b=alive)
+        if plan.A_light.nvals:
+            al = alive[jnp.clip(plan.light_eids, 0, A.nzmax - 1)]
+            A_l = csr_filter_lanes(plan.A_light, al & light_lane)
+            if A_l.nvals:
+                B_l = csr_filter_lanes(A, alive)
+                counts = counts + masked_pair_counts(A, A_l, B_l, chunk)
+        keep = alive & (counts >= (k - 2))
+        nk = int(jnp.sum(keep))
+        if nk == last:
+            break
+        alive, last = keep, nk
+        if nk == 0:
+            break
+    truss = csr_filter_lanes(A, alive)
+    sup = _compact_lanes_jit(A.nzmax, counts, alive)
+    return truss, sup, nsteps
+
+
+def _ktruss_sort_merge(A: CsrMatrix, k: int, chunk: int,
+                       max_iters: int) -> Tuple[CsrMatrix, jnp.ndarray,
+                                                int]:
+    """Small/flat-graph fallback: per-sweep sort-merge counting on the
+    shrinking truss (one cheap dispatch per sweep at this size)."""
+    last = A.nvals
+    nsteps = 0
+    counts = jnp.zeros((A.nzmax,), jnp.int32)
+    while nsteps < max_iters:
+        nsteps += 1
+        counts = masked_pair_counts(A, A, A, chunk)
         keep = counts >= (k - 2)
         B = csr_filter_lanes(A, keep)
         if B.nvals == last:

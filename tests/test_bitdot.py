@@ -169,3 +169,106 @@ def test_multi_level_slabs(rng):
     finally:
         bd._MIN_LEVEL_REM, bd._MIN_LANES = old_rem, old_lanes
         bd._MIN_LEVEL_COVER = old_cov
+
+
+def test_alive_repack_matches_cached(rng):
+    # alive == all-live must reproduce the cached-panel counts exactly
+    r = np.random.default_rng(31)
+    I, J, n = _powerlaw_graph(r, n=500)
+    A = _csr(I, J, n)
+    L, U = tricount_prep_csr(A)
+    plan = build_bitdot_plan(L, L, U, min_lanes=1, cover_target=1.0,
+                             keep_entry_lists=True)
+    assert plan is not None
+    base = bitdot_counts(plan, L)
+    alive_a = jnp.arange(L.nzmax) < L.nvals
+    alive_b = jnp.arange(U.nzmax) < U.nvals
+    live = bitdot_counts(plan, L, alive_a=alive_a, alive_b=alive_b)
+    assert bool(jnp.all(base == live))
+    # killing every A entry zeroes the heavy counts
+    dead = jnp.zeros((L.nzmax,), bool)
+    assert int(jnp.sum(bitdot_counts(plan, L, alive_a=dead))) == 0
+    # partial liveness == counts on the filtered operands (oracle)
+    kill = np.zeros(L.nzmax, bool)
+    kill[: L.nvals] = r.random(L.nvals) < 0.5
+    alive_p = jnp.asarray(~kill) & alive_a
+    from graphblas_tpu.sparse.tri import csr_filter_lanes
+    L_f = csr_filter_lanes(L, alive_p)
+    ref = masked_pair_counts(L, L_f, U)
+    got = bitdot_counts(plan, L, alive_a=alive_p)
+    if plan.A_light.nvals:
+        al = alive_p[jnp.clip(plan.light_eids, 0, L.nzmax - 1)]
+        lf = csr_filter_lanes(plan.A_light,
+                              al & (jnp.arange(plan.A_light.nzmax)
+                                    < plan.A_light.nvals))
+        if lf.nvals:
+            got = got + masked_pair_counts(L, lf, U)
+    assert bool(jnp.all(got == ref))
+
+
+def test_alive_requires_entry_lists(rng):
+    r = np.random.default_rng(33)
+    I, J, n = _powerlaw_graph(r, n=400)
+    A = _csr(I, J, n)
+    L, U = tricount_prep_csr(A)
+    plan = build_bitdot_plan(L, L, U, min_lanes=1)
+    assert plan is not None
+    with pytest.raises(ValueError, match="keep_entry_lists"):
+        bitdot_counts(plan, L, alive_a=jnp.ones((L.nzmax,), bool))
+
+
+def test_row_compacted_panels_exact(rng):
+    # large row space, few live rows: the planner must compact and the
+    # counts must still match the sort-merge oracle bit for bit
+    r = np.random.default_rng(17)
+    m = 20000                      # row space much larger than live rows
+    rows = r.integers(0, 200, 4000)            # only rows < 200 live
+    cols = r.integers(0, 500, 4000)
+    lin = np.unique(rows.astype(np.int64) * 500 + cols)
+    I, K = lin // 500, lin % 500
+    A = sp.CsrMatrix.from_coo(I, K, np.ones(len(I), bool), m, 500,
+                              type=gb.BOOL, sum_duplicates=False)
+    KB = r.integers(0, 500, 3000)
+    JB = r.integers(0, 200, 3000)
+    linb = np.unique(KB.astype(np.int64) * 200 + JB)
+    B = sp.CsrMatrix.from_coo(linb // 200, linb % 200,
+                              np.ones(len(linb), bool), 500, 200,
+                              type=gb.BOOL, sum_duplicates=False)
+    MI = r.integers(0, 200, 2000)
+    MJ = r.integers(0, 200, 2000)
+    linm = np.unique(MI.astype(np.int64) * 200 + MJ)
+    M = sp.CsrMatrix.from_coo(linm // 200, linm % 200,
+                              np.ones(len(linm), bool), m, 200,
+                              type=gb.BOOL, sum_duplicates=False)
+    ref = masked_pair_counts(M, A, B)
+    plan = build_bitdot_plan(M, A, B, min_lanes=1, cover_target=1.0)
+    assert plan is not None
+    # the A side must actually have compacted (live rows << m)
+    assert any(lv.amap is not None for lv in plan.levels)
+    got = bitdot_counts(plan, M)
+    if plan.A_light.nvals:
+        got = got + masked_pair_counts(M, plan.A_light, B)
+    assert bool(jnp.all(got == ref))
+
+
+def test_ktruss_incremental_matches_fallback(rng):
+    r = np.random.default_rng(41)
+    I, J, n = _powerlaw_graph(r, n=700, mult=4)
+    A = _csr(I, J, n)
+    import graphblas_tpu.sparse.bitdot as bd
+    from graphblas_tpu.sparse.tri import _ktruss_sort_merge
+    old = bd._MIN_LANES
+    bd._MIN_LANES = 1
+    try:
+        for k in (3, 4, 6):
+            t1, c1, s1 = ktruss_esc(A, k)          # incremental
+            t2, c2, s2 = _ktruss_sort_merge(A, k, 1 << 26, 1000)
+            assert t1.nvals == t2.nvals and s1 == s2
+            I1, J1, _ = t1.extractTuples()
+            I2, J2, _ = t2.extractTuples()
+            assert np.array_equal(np.asarray(I1), np.asarray(I2))
+            assert np.array_equal(np.asarray(J1), np.asarray(J2))
+            assert bool(jnp.all(jnp.sort(c1[: t1.nvals])
+                                == jnp.sort(c2[: t2.nvals])))
+    finally:
+        bd._MIN_LANES = old
