@@ -362,10 +362,21 @@ def _mxm_sparse(C, M, accum, sr: Semiring, A, B, d: Descriptor):
                                      method_hint=d.axb_method)
         T = CsrMatrix.from_matrix(Matrix(tvals, tpat, sr.ztype))
     else:
-        # mask pushdown: T is only read where the (effective) mask
-        # selects, so the product can skip masked-out flops entirely
-        T = csr_spgemm(sr, A, B, mask=Mc, complement=d.mask_scmp,
-                       structural=d.mask_structure)
+        T = None
+        if (Mc is not None and not d.mask_scmp
+                and not sr.ztype.is_udt and not A.type.is_udt
+                and not B.type.is_udt):
+            # value-panel engine for heavy masked numeric products
+            # (round 5): dense value panels for the flop-heavy columns,
+            # ESC residual; refuses (-> None) when it can't pay
+            from ..sparse.valdot import valdot_masked_spgemm
+            T = valdot_masked_spgemm(sr, A, B, Mc,
+                                     structural=d.mask_structure)
+        if T is None:
+            # mask pushdown: T is only read where the (effective) mask
+            # selects, so the product can skip masked-out flops entirely
+            T = csr_spgemm(sr, A, B, mask=Mc, complement=d.mask_scmp,
+                           structural=d.mask_structure)
     return csr_accum_mask(C, Mc, T, accum, d)
 
 

@@ -173,10 +173,17 @@ class _SlabSel(NamedTuple):
 
 def _select_slab(bud: int, sel_start: int, want_cols: int,
                  order, csum, kk: int, m: int, n: int,
-                 a_rows, a_cols, b_rows, b_cols) -> Optional[_SlabSel]:
+                 a_rows, a_cols, b_rows, b_cols,
+                 bpc: float = 0.125,
+                 quantum: int = 256) -> Optional[_SlabSel]:
     """Pick the widest slab of columns order[sel_start:...] whose
     row-compacted panel pair fits ``bud`` bytes.  Live-row counts grow
-    with the slab, so probe, then grow/shrink to the fixpoint."""
+    with the slab, so probe, then grow/shrink to the fixpoint.
+
+    ``bpc``: panel bytes per (row, column) slot — 4/32 for bitmaps;
+    the value engine (:mod:`valdot`) passes itemsize + 4/32.
+    ``quantum``: slab width rounding (256 keeps bitmap word counts a
+    multiple of 8 and value panels lane-aligned)."""
     if want_cols <= 0:
         return None
 
@@ -190,34 +197,36 @@ def _select_slab(bud: int, sel_start: int, want_cols: int,
         rb = np.unique(b_cols[bm])
         return pos, am, bm, ra, rb
 
+    def width(rows_total):
+        c = int(bud / (bpc * max(rows_total, 1)))
+        return (c // quantum) * quantum
+
     def mem(kcand, na, nb):
-        W = _round8((kcand + 31) // 32 + 7)
-        return 4 * max(W, 8) * (na + nb), max(W, 8)
+        S = max(((kcand + quantum - 1) // quantum) * quantum, quantum)
+        return bpc * S * (na + nb)
 
     # probe at dense-rows width, then retry at the live-row width
-    wcap = _round8(bud // (4 * (m + n)))
-    kcand = min(32 * max(wcap, 8), want_cols)
+    kcand = min(max(width(m + n), quantum), want_cols)
     pos, am, bm, ra, rb = live(kcand)
     na = len(ra) if len(ra) < _COMPACT_FRAC * m else m
     nb = len(rb) if len(rb) < _COMPACT_FRAC * n else n
     for _ in range(3):
-        bytes_, W = mem(kcand, na, nb)
-        grow = min(32 * _round8(bud // (4 * (na + nb))), want_cols)
+        bytes_ = mem(kcand, na, nb)
+        grow = min(width(na + nb), want_cols)
         if bytes_ <= bud and grow <= kcand:
             break
         if bytes_ > bud and grow >= kcand:
             break                      # fixpoint within rounding
-        kcand = max(grow, 256) if grow > 0 else kcand
+        kcand = max(grow, quantum) if grow > 0 else kcand
         if grow <= 0:
             return None
         pos, am, bm, ra, rb = live(kcand)
         na = len(ra) if len(ra) < _COMPACT_FRAC * m else m
         nb = len(rb) if len(rb) < _COMPACT_FRAC * n else n
-    bytes_, W = mem(kcand, na, nb)
-    if bytes_ > bud:
+    if mem(kcand, na, nb) > bud:
         # final conservative shrink with the measured live rows
-        kcand = 32 * _round8(bud // (4 * (na + nb)))
-        if kcand < 32:
+        kcand = width(na + nb)
+        if kcand < quantum // 8:
             return None
         kcand = min(kcand, want_cols)
         pos, am, bm, ra, rb = live(kcand)

@@ -1,0 +1,166 @@
+"""Value-panel masked SpGEMM (sparse/valdot.py): numeric semirings
+through the heavy/light split, checked against the ESC engine (which is
+itself differential-tested against the dense oracle).
+
+Reference counterpart: the generated memory-speed semiring workers
+(``Source/Generated/GB_AxB__plus_times_fp32.c``, ``GB_AxB_dot.c``).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu import sparse as sp
+from graphblas_tpu.core.semirings import semiring
+from graphblas_tpu.sparse.esc import csr_spgemm
+from graphblas_tpu.sparse.valdot import (build_valdot_plan,
+                                         valdot_masked_spgemm)
+
+
+def _powerlaw(rng, n=600, alpha=1.2, mult=3):
+    deg = np.minimum((rng.pareto(alpha, n) * mult).astype(int) + 1, n - 1)
+    I = np.repeat(np.arange(n), deg)
+    J = rng.integers(0, n, size=len(I))
+    keep = I != J
+    I, J = I[keep], J[keep]
+    lin = np.unique(np.concatenate([I * n + J, J * n + I]))
+    return lin // n, lin % n, n
+
+
+def _valued_csr(rng, I, J, n, t=None, dtype=np.float32, vals=None):
+    t = t or gb.FP32
+    if vals is None:
+        vals = (rng.random(len(I)) * 4 - 2).astype(dtype)
+        if np.issubdtype(dtype, np.integer):
+            vals = rng.integers(1, 9, len(I)).astype(dtype)
+    return sp.CsrMatrix.from_coo(I, J, vals, n, n, type=t,
+                                 sum_duplicates=False)
+
+
+def _tosets(C):
+    I, J, X = C.extractTuples()
+    order = np.lexsort((np.asarray(J), np.asarray(I)))
+    return (np.asarray(I)[order], np.asarray(J)[order],
+            np.asarray(X)[order])
+
+
+def _check(sr, A, B, M, exact, **kw):
+    ref = csr_spgemm(sr, A, B, mask=M)
+    got = valdot_masked_spgemm(sr, A, B, M, **kw)
+    assert got is not None
+    ri, rj, rx = _tosets(ref)
+    gi, gj, gx = _tosets(got)
+    assert np.array_equal(ri, gi) and np.array_equal(rj, gj), \
+        (len(ri), len(gi))
+    if exact:
+        assert np.array_equal(rx, gx)
+    else:
+        np.testing.assert_allclose(rx, gx, rtol=2e-5, atol=2e-6)
+    return got
+
+
+@pytest.fixture
+def graph():
+    r = np.random.default_rng(77)
+    I, J, n = _powerlaw(r, n=500)
+    lo = I > J
+    return r, I, J, n, lo
+
+
+def _mk(graph, dtype, t):
+    r, I, J, n, lo = graph
+    L = _valued_csr(r, I[lo], J[lo], n, t, dtype)
+    U = _valued_csr(r, J[lo], I[lo], n, t, dtype)
+    M = _valued_csr(r, I[lo], J[lo], n, t, dtype)
+    return L, U, M
+
+
+@pytest.mark.parametrize("srname,dtype,t,exact", [
+    ("plus_times", np.float32, None, False),
+    ("plus_times", np.int32, "INT32", True),
+    ("min_plus", np.float32, None, False),
+    ("max_times", np.float64, "FP64", False),
+    ("plus_pair", np.float32, None, True),
+])
+def test_valdot_matches_esc(graph, srname, dtype, t, exact):
+    t = getattr(gb, t) if isinstance(t, str) else gb.FP32
+    L, U, M = _mk(graph, dtype, t)
+    sr = semiring[srname][t]
+    ref = csr_spgemm(sr, L, U, mask=M)
+    plan = build_valdot_plan(M, L, U, sr, min_lanes=1)
+    assert plan is not None
+    got = valdot_masked_spgemm(sr, L, U, M)
+    if got is None:     # auto gate refused (small graph): force plan
+        import graphblas_tpu.sparse.bitdot as bd
+        old = bd._MIN_LANES
+        bd._MIN_LANES = 1
+        try:
+            M._options.pop(("valdot_plan", sr.xtype.name,
+                            sr.ytype.name), None)
+            got = valdot_masked_spgemm(sr, L, U, M)
+        finally:
+            bd._MIN_LANES = old
+    assert got is not None
+    ri, rj, rx = _tosets(ref)
+    gi, gj, gx = _tosets(got)
+    assert np.array_equal(ri, gi) and np.array_equal(rj, gj)
+    if exact:
+        assert np.array_equal(rx, gx)
+    else:
+        np.testing.assert_allclose(rx, gx, rtol=2e-5, atol=2e-6)
+
+
+def test_valdot_valued_mask_truthiness(graph):
+    # falsy mask values must not produce output entries
+    r, I, J, n, lo = graph
+    import graphblas_tpu.sparse.bitdot as bd
+    L = _valued_csr(r, I[lo], J[lo], n, gb.FP32, np.float32)
+    U = _valued_csr(r, J[lo], I[lo], n, gb.FP32, np.float32)
+    mv = r.random(int(lo.sum())).astype(np.float32)
+    mv[mv < 0.5] = 0.0                      # half the mask is falsy
+    M = _valued_csr(r, I[lo], J[lo], n, gb.FP32, np.float32, vals=mv)
+    sr = semiring.plus_times[gb.FP32]
+    old = bd._MIN_LANES
+    bd._MIN_LANES = 1
+    try:
+        ref = csr_spgemm(sr, L, U, mask=M)
+        got = valdot_masked_spgemm(sr, L, U, M)
+    finally:
+        bd._MIN_LANES = old
+    assert got is not None
+    ri, rj, rx = _tosets(ref)
+    gi, gj, gx = _tosets(got)
+    assert np.array_equal(ri, gi) and np.array_equal(rj, gj)
+    np.testing.assert_allclose(rx, gx, rtol=2e-5, atol=2e-6)
+
+
+def test_valdot_refuses_small_and_udt():
+    I = np.array([1, 2, 2, 3, 3, 3])
+    J = np.array([0, 0, 1, 0, 1, 2])
+    A = sp.CsrMatrix.from_coo(I, J, np.ones(6, np.float32), 4, 4,
+                              type=gb.FP32, sum_duplicates=False)
+    sr = semiring.plus_times[gb.FP32]
+    # tiny wedge count: the plan refuses, caller must fall back
+    assert valdot_masked_spgemm(sr, A, A, A) is None
+
+
+def test_valdot_plan_cache(graph):
+    r, I, J, n, lo = graph
+    import graphblas_tpu.sparse.bitdot as bd
+    L = _valued_csr(r, I[lo], J[lo], n, gb.FP32, np.float32)
+    U = _valued_csr(r, J[lo], I[lo], n, gb.FP32, np.float32)
+    M = _valued_csr(r, I[lo], J[lo], n, gb.FP32, np.float32)
+    sr = semiring.plus_times[gb.FP32]
+    old = bd._MIN_LANES
+    bd._MIN_LANES = 1
+    try:
+        c1 = valdot_masked_spgemm(sr, L, U, M)
+        key = ("valdot_plan", "FP32", "FP32")
+        entry = M._options.get(key)
+        c2 = valdot_masked_spgemm(sr, L, U, M)
+        assert M._options.get(key) is entry       # no rebuild
+        assert np.array_equal(np.asarray(c1.values[:c1.nvals]),
+                              np.asarray(c2.values[:c2.nvals]))
+    finally:
+        bd._MIN_LANES = old
