@@ -103,6 +103,77 @@ def main():
     assert rtri == rtri2
     rmat_engine = last_axb_method()
 
+    # ---- scale-18 R-MAT: the round-4/5 flagship regime, captured in
+    # the driver artifact (VERDICT r4 next #7).  Guarded: skipped when
+    # the compile cache is cold (env GBTPU_BENCH_SCALE18=0 skips too).
+    r18 = {}
+    import os
+    budget_s = float(os.environ.get("GBTPU_BENCH_S18_BUDGET", "900"))
+    if os.environ.get("GBTPU_BENCH_SCALE18", "1") != "0":
+        try:
+            t18 = time.perf_counter()
+            n18 = 1 << 18
+            I8, J8 = rmat_edges(18, 16, seed=7)
+            I8, J8 = symmetrize_pattern(I8, J8, n18)
+            A18 = sp.CsrMatrix.from_coo(I8, J8, np.ones(len(I8), bool),
+                                        n18, n18, type=gb.BOOL,
+                                        sum_duplicates=False)
+            L18, U18 = tri.tricount_prep_csr(A18)
+            t18_first = time.perf_counter()
+            tri18 = tri.tricount_esc(L18, U18)   # builds + warms plan
+            first_s = time.perf_counter() - t18_first
+            t0 = time.perf_counter()
+            tri18b = tri.tricount_esc(L18, U18)
+            warm18 = time.perf_counter() - t0
+            assert tri18 == tri18b
+            r18 = {
+                "rmat18_nnz": len(I8), "rmat18_ntri": tri18,
+                "rmat18_engine": last_axb_method(),
+                "rmat18_warm_s": warm18,
+                "rmat18_first_s": first_s,
+                "rmat18_nnz_per_s": len(I8) / warm18,
+            }
+            # valued flagship: masked plus_times f32 over the same
+            # prepped product (the round-5 valdot engine)
+            if time.perf_counter() - t18 < budget_s:
+                from graphblas_tpu.core.semirings import semiring
+                from graphblas_tpu.sparse.valdot import (
+                    valdot_masked_spgemm)
+                rv = np.random.default_rng(3)
+
+                def withvals(X):
+                    hp = X._options["host_pattern"]
+                    Iv, Jv = hp[0][:X.nvals], hp[1][:X.nvals]
+                    return sp.CsrMatrix.from_coo(
+                        Iv, Jv,
+                        rv.random(len(Iv)).astype(np.float32) + 0.5,
+                        X.nrows, X.ncols, type=gb.FP32,
+                        sum_duplicates=False)
+                Lv, Uv, Mv = withvals(L18), withvals(U18), withvals(L18)
+                srv = semiring.plus_times[gb.FP32]
+                Cv = valdot_masked_spgemm(srv, Lv, Uv, Mv)
+                if Cv is not None:
+                    plan_v = Mv._options[("valdot_plan", "FP32",
+                                          "FP32")][-1]
+                    vflops = plan_v.covered_lanes + plan_v.light_lanes
+                    t0 = time.perf_counter()
+                    Cv2 = valdot_masked_spgemm(srv, Lv, Uv, Mv)
+                    vwarm = time.perf_counter() - t0
+                    assert Cv2.nvals == Cv.nvals
+                    r18.update({
+                        "valdot18_flops": vflops,
+                        "valdot18_warm_s": vwarm,
+                        "valdot18_flops_per_s": vflops / vwarm,
+                        "valdot18_nnzC": Cv.nvals,
+                        "valdot18_engine": last_axb_method(),
+                        # ESC (the general numeric engine) measured
+                        # 5.2-5.7 M lanes/s round 4 — the ratio is the
+                        # round-5 numeric-engine headline
+                        "valdot18_vs_esc": (vflops / vwarm) / 5.5e6,
+                    })
+        except Exception as e:  # pragma: no cover
+            r18["rmat18_skipped"] = f"{type(e).__name__}: {e}"
+
     rate = nedges / elapsed
     baseline = 5.62e6  # edges/s, Demo/Output/tri_demo.out:82 (dot method)
     # chip-relative accounting: device work = the real tile-triple
@@ -139,6 +210,7 @@ def main():
         # reference CPU on its hardest power-law GraphChallenge entries:
         # 0.09-0.14 M edges/s (Extras/tri/tri_grb_results.m)
         "rmat_vs_ref_powerlaw": ((len(RI) // 2) / r_elapsed) / 0.14e6,
+        **r18,
     }))
 
 

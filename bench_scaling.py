@@ -90,7 +90,41 @@ def slab_bytes(D) -> int:
     return per
 
 
-def run_weak(scale0: int, devices, reps: int):
+def _dense_rows(d: int, scale0_dense: int, reps: int):
+    """Whole-loop SPMD BFS + PageRank weak-scaling row (dense
+    row-blocks — kept at a smaller per-device scale than the CSR rows
+    so the 8-device graph's dense pattern fits host memory)."""
+    from graphblas_tpu.parallel.algorithms import dist_bfs, dist_pagerank
+    scale = scale0_dense + int(np.log2(d))
+    A, n, nnz = rmat_graph(scale)
+    mesh = par.make_mesh(d)
+    Ad = A.to_matrix()
+    DA = par.distribute(Ad, mesh, square=True)
+    v = dist_bfs(DA, 0)
+    t_bfs = time_it(lambda: dist_bfs(DA, 0), reps)
+    bfs_stats = introspect.program_stats("dist_bfs")
+    nlevels = int(v.max())
+    from graphblas_tpu.models.pagerank import drowscale
+    C = drowscale(Ad)
+    DC = par.distribute(C, mesh, square=True)
+    iters = 10
+    dist_pagerank(DC, iters)
+    t_pr = time_it(lambda: dist_pagerank(DC, iters), reps)
+    pr_stats = introspect.program_stats("dist_pagerank")
+    return {
+        "metric": "weak_scaling_dense_loops", "devices": d,
+        "scale": scale, "n": n, "nnz": nnz,
+        "bfs_s": round(t_bfs, 4), "bfs_levels": nlevels,
+        "bfs_agg_edgelevels_per_s": round(nnz * nlevels / t_bfs),
+        "pagerank_s": round(t_pr, 4), "pagerank_iters": iters,
+        "pagerank_agg_nnz_per_s": round(nnz * iters / t_pr),
+        "bfs_schedule": bfs_stats,
+        "pagerank_schedule": pr_stats,
+    }
+
+
+def run_weak(scale0: int, devices, reps: int, scale0_dense: int = 9,
+             emit=print):
     from graphblas_tpu.parallel.dist_csr import (dist_csr_from_matrix,
                                                  dist_csr_mxv)
     from graphblas_tpu.sparse.tri import csr_tril
@@ -148,9 +182,14 @@ def run_weak(scale0: int, devices, reps: int):
             "tricount_schedule": tri_stats,
         }
         rows.append(row)
-        print(json.dumps(row), flush=True)
+        emit(json.dumps(row))
+        drow = _dense_rows(d, scale0_dense, reps)
+        rows.append(drow)
+        emit(json.dumps(drow))
 
-    if len(rows) > 1:
+    csr_rows = [r for r in rows if r["metric"] == "weak_scaling"]
+    if len(csr_rows) > 1:
+        rows_all, rows = rows, csr_rows
         # On ONE host, d virtual devices share the same silicon, so the
         # best possible aggregate throughput is the 1-device rate —
         # wall-clock "efficiency" is bounded by 1/d by construction.
@@ -161,7 +200,13 @@ def run_weak(scale0: int, devices, reps: int):
         em = rows[-1]["mxv_agg_nnz_per_s"] / rows[0]["mxv_agg_nnz_per_s"]
         et = (rows[-1]["tri_agg_flops_per_s"]
               / rows[0]["tri_agg_flops_per_s"])
-        print(json.dumps({
+        dense = [r for r in rows_all
+                 if r["metric"] == "weak_scaling_dense_loops"]
+        eb = (dense[-1]["bfs_agg_edgelevels_per_s"]
+              / dense[0]["bfs_agg_edgelevels_per_s"]) if len(dense) > 1 else None
+        ep = (dense[-1]["pagerank_agg_nnz_per_s"]
+              / dense[0]["pagerank_agg_nnz_per_s"]) if len(dense) > 1 else None
+        emit(json.dumps({
             "metric": "weak_scaling_schedule_overhead",
             "devices": rows[-1]["devices"],
             "value": round(min(em, et), 3),
@@ -169,13 +214,18 @@ def run_weak(scale0: int, devices, reps: int):
                      "1.0 = schedule-free (true ICI weak scaling "
                      "needs a pod)"),
             "per_algorithm": {"mxv": round(em, 3),
-                              "tricount_csr": round(et, 3)},
+                              "tricount_csr": round(et, 3),
+                              "bfs_dense": (round(eb, 3)
+                                            if eb is not None else None),
+                              "pagerank_dense": (round(ep, 3)
+                                                 if ep is not None else None)},
             "north_star": 0.7,
             "note": ("virtual CPU devices share host cores: wall time "
                      "here bounds schedule overhead only; the "
                      "collective/memory facts above are exact "
                      "compile-time contracts a pod run must confirm"),
-        }), flush=True)
+        }))
+    return rows if len(csr_rows) <= 1 else rows_all
 
 
 def run_strong(n: int, devices, reps: int):
@@ -199,6 +249,84 @@ def run_strong(n: int, devices, reps: int):
             "caveat": "contention-bound on virtual devices"}), flush=True)
 
 
+def summarize(rows):
+    """Schedule-overhead summary across collected per-d rows."""
+    csr = [r for r in rows if r.get("metric") == "weak_scaling"]
+    dense = [r for r in rows
+             if r.get("metric") == "weak_scaling_dense_loops"]
+    if len(csr) < 2:
+        return None
+    em = csr[-1]["mxv_agg_nnz_per_s"] / csr[0]["mxv_agg_nnz_per_s"]
+    et = (csr[-1]["tri_agg_flops_per_s"]
+          / csr[0]["tri_agg_flops_per_s"])
+    eb = (dense[-1]["bfs_agg_edgelevels_per_s"]
+          / dense[0]["bfs_agg_edgelevels_per_s"]) if len(dense) > 1 else None
+    ep = (dense[-1]["pagerank_agg_nnz_per_s"]
+          / dense[0]["pagerank_agg_nnz_per_s"]) if len(dense) > 1 else None
+    return {
+        "metric": "weak_scaling_schedule_overhead",
+        "devices": csr[-1]["devices"],
+        "value": round(min(em, et), 3),
+        "unit": ("aggregate rate(d)/rate(1) on shared silicon; "
+                 "1.0 = schedule-free (true ICI weak scaling needs "
+                 "a pod)"),
+        "per_algorithm": {
+            "mxv": round(em, 3), "tricount_csr": round(et, 3),
+            "bfs_dense": round(eb, 3) if eb is not None else None,
+            "pagerank_dense": round(ep, 3) if ep is not None else None},
+        "north_star": 0.7,
+        "note": ("each row ran in its OWN process pinned to the same "
+                 "host-core set (taskset), nothing else running — the "
+                 "1-device baseline and every d-device row see an "
+                 "identical core budget, so rate(d)/rate(1) is "
+                 "monotone-interpretable; the collective/memory facts "
+                 "are exact compile-time contracts a pod run must "
+                 "confirm"),
+    }
+
+
+def orchestrate(args, devices):
+    """Run each device-count row in a fresh process pinned to a fixed
+    core set (the 1-device baseline gets the SAME budget as the
+    8-device row — VERDICT r4 next #6), collect the JSON rows, and
+    write the summary artifact."""
+    import subprocess
+    ncores = os.cpu_count() or 4
+    coreset = f"0-{ncores - 1}"
+    rows = []
+    for d in devices:
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "").split(
+                "--xla_force_host_platform_device_count")[0].strip()
+            + f" --xla_force_host_platform_device_count={max(d, 1)}"
+        ).strip()
+        cmd = ["taskset", "-c", coreset, sys.executable,
+               os.path.abspath(__file__), "--row", str(d),
+               "--scale0", str(args.scale0), "--reps", str(args.reps)]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             env=env, timeout=3600)
+        if out.returncode != 0:
+            print(out.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"row d={d} failed")
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                row = json.loads(line)
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+    summ = summarize(rows)
+    if summ:
+        summ["pinned_cores"] = coreset
+        rows.append(summ)
+        print(json.dumps(summ), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=1)
+        print(f"wrote {args.out}", file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale0", type=int,
@@ -208,8 +336,24 @@ def main():
     ap.add_argument("--n", type=int, default=1 << 16,
                     help="graph size for strong mode")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--row", type=int, default=0,
+                    help="run ONE device-count row (used by "
+                         "--orchestrate subprocesses)")
+    ap.add_argument("--orchestrate", action="store_true",
+                    help="spawn one core-pinned process per row "
+                         "(the committed-artifact mode)")
+    ap.add_argument("--out", default="",
+                    help="write collected rows to this JSON file "
+                         "(--orchestrate)")
     args = ap.parse_args()
+    if args.orchestrate:
+        devices = [1, 2, 4, 8]
+        orchestrate(args, devices)
+        return
     ndev = len(jax.devices())
+    if args.row:
+        run_weak(args.scale0, [args.row], args.reps)
+        return
     devices = [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev]
     if args.strong:
         run_strong(args.n, devices, args.reps)

@@ -98,6 +98,8 @@ def dist_bfs(A, s: int, mesh: Optional[Mesh] = None) -> np.ndarray:
         A = distribute(A, mesh or make_mesh(), square=True)
     n = A.pattern.shape[1]
     prog = _bfs_spmd_cached(A.mesh, n)
+    from . import introspect
+    introspect.record("dist_bfs", prog, (A.pattern, jnp.int32(s)))
     v = prog(A.pattern, jnp.int32(s))
     return np.asarray(v)[:A.nrows]
 
@@ -166,8 +168,10 @@ def dist_pagerank(A, iters: int = 20,
                    lambda: _pagerank_spmd(D.mesh, iters, n))
     r0 = jnp.full((n_pad,), 1.0 / n, jnp.asarray(D.values).dtype)
     r0 = jnp.where(jnp.arange(n_pad) < n, r0, 0.0)
-    r = prog(D.values, r0, jnp.asarray((1 - 0.85) / n,
-                                       jnp.asarray(D.values).dtype))
+    from . import introspect
+    a_s = jnp.asarray((1 - 0.85) / n, jnp.asarray(D.values).dtype)
+    introspect.record("dist_pagerank", prog, (D.values, r0, a_s))
+    r = prog(D.values, r0, a_s)
     r = np.asarray(r)[:n]
     return r / r.sum()
 
