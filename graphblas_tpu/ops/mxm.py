@@ -364,6 +364,7 @@ def _mxm_sparse(C, M, accum, sr: Semiring, A, B, d: Descriptor):
     else:
         T = None
         if (Mc is not None and not d.mask_scmp
+                and d.axb_method in (None, "dot")
                 and not sr.ztype.is_udt and not A.type.is_udt
                 and not B.type.is_udt):
             # value-panel engine for heavy masked numeric products

@@ -56,6 +56,13 @@ _SEGMENT_MONOIDS = ("PLUS", "TIMES", "MIN", "MAX", "LOR", "LAND", "LXOR",
                     "EQ")
 
 
+#: lanes-per-dispatch ceiling: ESC programs beyond ~2^24 expansion
+#: lanes fault the TPU worker (measured: 67-84 M-lane masked
+#: plus_times died; 16.7 M-lane blocks run — ESC carries more state
+#: per lane than the tri engine, whose cap is 2^26)
+_ESC_LANE_CAP = 1 << 24
+
+
 def _bucket(x: int, lo: int = 128) -> int:
     """Round up to the next power of two (>= lo) to bound jit cache."""
     c = lo
@@ -195,7 +202,10 @@ def _esc_core(sr: Semiring, E: int, m: int, n: int, k: int,
               a_rowids, a_values, b_indices, b_values, m_keys):
     nzmaxA = a_rowids.shape[0]
     nzmaxB = b_indices.shape[0]
-    big = jnp.asarray(np.iinfo(np.dtype(kdt)).max, kdt)
+    intmax = np.iinfo(np.dtype(kdt)).max
+    # bigbase survives the *2+1 tag encoding of the mask merge
+    bigbase = jnp.asarray(intmax // 2 - 1, kdt)
+    big = jnp.asarray(intmax, kdt)
     sent = jnp.asarray(m * n, kdt)  # output sentinel: row m, "col" fixup
 
     ec, posc, live, i, j = _expand_lanes(
@@ -203,15 +213,8 @@ def _esc_core(sr: Semiring, E: int, m: int, n: int, k: int,
         nzmaxA, nzmaxB)
 
     key = i.astype(kdt) * n + j.astype(kdt)
-    key = jnp.where(live, key, big)
-    if has_mask:
-        idx = jnp.searchsorted(m_keys, key)
-        idxc = jnp.minimum(idx, m_keys.shape[0] - 1)
-        member = (m_keys[idxc] == key) & (key < big)
-        keep = (~member if complement else member) & live
-        key = jnp.where(keep, key, big)
+    key = jnp.where(live, key, bigbase)
 
-    # multiply only the surviving lanes (identity elsewhere)
     xt, yt, zt = sr.xtype, sr.ytype, sr.ztype
     a = _tmap(lambda v: v[ec], a_values)
     b = _tmap(lambda v: v[posc], b_values)
@@ -221,43 +224,82 @@ def _esc_core(sr: Semiring, E: int, m: int, n: int, k: int,
         b = cast(b, yt)
     z = sr.mult(a, b)
     ident = sr.add.identity
-    alive = key < big
     if zt.is_udt:
-        z = _tmap(lambda zz, ii: jnp.where(alive, zz, jnp.asarray(ii)),
+        z = _tmap(lambda zz, ii: jnp.where(live, zz, jnp.asarray(ii)),
                   z, dict(ident) if not isinstance(ident, dict) else ident)
     else:
-        z = jnp.where(alive, z.astype(zt.dtype), jnp.asarray(ident, zt.dtype))
+        z = jnp.where(live, z.astype(zt.dtype), jnp.asarray(ident, zt.dtype))
 
     # sort by output coordinate, payloads carried THROUGH the sort
     # (an argsort + per-lane permutation gathers costs 2 extra random
     # accesses per lane and per payload leaf — the measured slow
-    # primitive; lax.sort moves the payload in the sort network)
+    # primitive; lax.sort moves the payload in the sort network).
+    # Mask membership is a SORT-MERGE, not a per-lane searchsorted: the
+    # binary search cost ~log2(nzM) chained gathers per lane (~160 ns,
+    # 5x the whole remaining pipeline); instead the (sorted) mask keys
+    # ride the same sort, tagged to land just before their lanes, and
+    # membership is one cummax pass (Template/GB_AxB_dot_mask.c
+    # restructured for a machine whose sorts outrun its gathers 4:1).
     leaves, treedef = jax.tree_util.tree_flatten(z)
-    sorted_ops = jax.lax.sort((key, *leaves), num_keys=1)
-    ks = sorted_ops[0]
-    zs = jax.tree_util.tree_unflatten(treedef, sorted_ops[1:])
+    if has_mask:
+        NM = m_keys.shape[0]
+        E2 = E + NM
+        allk = jnp.concatenate([m_keys * 2, key * 2 + 1])
+        tag = jnp.concatenate([jnp.ones((NM,), jnp.int8),
+                               jnp.zeros((E,), jnp.int8)])
+        if zt.is_udt:
+            idt = dict(ident) if not isinstance(ident, dict) else ident
+            # tree_flatten sorts dict keys, so leaf order matches z's
+            ileaves = [jnp.asarray(v)
+                       for v in jax.tree_util.tree_leaves(idt)]
+        else:
+            ileaves = [jnp.asarray(ident, leaves[0].dtype)]
+        padded = [jnp.concatenate([jnp.full((NM,), iv, l.dtype), l])
+                  for l, iv in zip(leaves, ileaves)]
+        sorted_ops = jax.lax.sort((allk, tag, *padded), num_keys=1)
+        sk = sorted_ops[0]
+        is_m = sorted_ops[1] == 1
+        zs = jax.tree_util.tree_unflatten(treedef, sorted_ops[2:])
+        run = jax.lax.cummax(jnp.where(is_m, sk, jnp.asarray(-1, kdt)))
+        match = (~is_m) & (sk < bigbase * 2) & (sk == run + 1)
+        keep = ((~is_m) & (sk < bigbase * 2) & ~match) if complement \
+            else match
+        ks = jnp.where(keep, jnp.right_shift(sk, 1), big)
+        if zt.is_udt:
+            zs = _tmap(lambda zz, ii: jnp.where(keep, zz,
+                                                jnp.asarray(ii)),
+                       zs, dict(ident) if not isinstance(ident, dict)
+                       else ident)
+        else:
+            zs = jnp.where(keep, zs, jnp.asarray(ident, zs.dtype))
+    else:
+        E2 = E
+        key = jnp.where(live, key, big)
+        sorted_ops = jax.lax.sort((key, *leaves), num_keys=1)
+        ks = sorted_ops[0]
+        zs = jax.tree_util.tree_unflatten(treedef, sorted_ops[1:])
 
     head = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
     seg = (jnp.cumsum(head) - 1).astype(jnp.int32)
 
-    seg_vals = _segmented_fold(sr.add, zs, head, seg, E, ident, zt)
+    seg_vals = _segmented_fold(sr.add, zs, head, seg, E2, ident, zt)
 
     # compact: one output slot per live head
     livek = ks < big
     out_head = head & livek
     r = (jnp.cumsum(out_head) - 1).astype(jnp.int32)
     nnzC = jnp.sum(out_head).astype(jnp.int32)
-    tgt = jnp.where(out_head, r, E + 1)
-    out_keys = jnp.full((E + 2,), sent, kdt).at[tgt].set(ks, mode="drop")
+    tgt = jnp.where(out_head, r, E2 + 1)
+    out_keys = jnp.full((E2 + 2,), sent, kdt).at[tgt].set(ks, mode="drop")
     hv = _tmap(lambda sv: sv[seg], seg_vals)
     if zt.is_udt:
         out_vals = _tmap(
-            lambda v: jnp.zeros((E + 2,), v.dtype
-                                ).at[tgt].set(v, mode="drop")[:E + 1], hv)
+            lambda v: jnp.zeros((E2 + 2,), v.dtype
+                                ).at[tgt].set(v, mode="drop")[:E2 + 1], hv)
     else:
-        out_vals = jnp.zeros((E + 2,), hv.dtype
-                             ).at[tgt].set(hv, mode="drop")[:E + 1]
-    out_keys = out_keys[:E + 1]
+        out_vals = jnp.zeros((E2 + 2,), hv.dtype
+                             ).at[tgt].set(hv, mode="drop")[:E2 + 1]
+    out_keys = out_keys[:E2 + 1]
 
     # coordinates + row-pointer assembly (sentinel -> row m, col n)
     is_sent = out_keys == sent
@@ -307,14 +349,17 @@ def csr_spgemm(sr: Semiring, A: CsrMatrix, B: CsrMatrix,
             f"mask {mask.shape} vs output {(m, n)}")
     zt = sr.ztype
 
-    # key dtype: int32 sort is ~2x int64 on the VPU; fall back as needed
-    if (m + 1) * n < (1 << 31):
+    # key dtype: int32 sort is ~2x int64 on the VPU; fall back as
+    # needed.  The masked path carries keys as key*2+1 (the sort-merge
+    # tag encoding), which costs one extra bit of headroom.
+    kbits = 31 if mask is None else 30
+    if (m + 1) * n < (1 << kbits):
         kdt = jnp.int32
-    elif (m + 1) * n < (1 << 63):
+    elif (m + 1) * n < (1 << (kbits + 32)):
         kdt = jnp.int64
     else:
         raise NotImplementedError(
-            "dimension product exceeds 2^63; use the hyper container")
+            "dimension product exceeds 2^62; use the hyper container")
 
     # plan cache: (flops, nnz) depend only on the operand/mask patterns,
     # not the semiring, so repeated products over the same containers
@@ -348,6 +393,13 @@ def csr_spgemm(sr: Semiring, A: CsrMatrix, B: CsrMatrix,
     if flops == 0 or (mask is not None and not complement
                       and mask.nvals == 0):
         return _empty_csr(m, n, zt)
+    if flops > _ESC_LANE_CAP:
+        # a single program beyond ~2^26 lanes faults the TPU worker
+        # (measured at 84 M; the tri engine's 2^26 dispatches are the
+        # proven ceiling): split A into contiguous flop-balanced entry
+        # blocks and monoid-merge the per-block partial outputs
+        return _csr_spgemm_chunked(sr, A, B, mask, complement,
+                                   structural, flops)
     E = _bucket4(flops)
 
     if carries is None:
@@ -363,7 +415,10 @@ def csr_spgemm(sr: Semiring, A: CsrMatrix, B: CsrMatrix,
     pos0_c, eid_c, st_c, nne = carries
 
     has_mask = mask is not None
-    m_keys = (_mask_keys(mask, n, kdt, np.iinfo(np.dtype(kdt)).max,
+    # mask pads use bigbase = intmax//2 - 1 so the *2 tag encoding in
+    # _esc_core cannot overflow
+    m_keys = (_mask_keys(mask, n, kdt,
+                         np.iinfo(np.dtype(kdt)).max // 2 - 1,
                          structural)
               if has_mask else jnp.zeros((1,), kdt))
 
@@ -389,6 +444,132 @@ def csr_spgemm(sr: Semiring, A: CsrMatrix, B: CsrMatrix,
     cap = min(_bucket(max(nnz, 8)), E + 1)
     from ..ops.flopcount import record_axb_method
     record_axb_method("esc:csr_spgemm")
+    return CsrMatrix(indptr, oj[:cap], oi[:cap],
+                     _tmap(lambda v: v[:cap], ov), nnz, m, n, zt)
+
+
+def _csr_spgemm_chunked(sr: Semiring, A: CsrMatrix, B: CsrMatrix,
+                        mask, complement: bool, structural: bool,
+                        flops: int) -> CsrMatrix:
+    """Huge products: contiguous A-entry blocks at flop-balanced
+    boundaries (the GB_AxB_parallel.c:52-59 slicing plan), each block
+    through the one-program engine, partials merged pairwise with the
+    add monoid (blocks partition A's entries, so a shared output key
+    is a genuine split segment)."""
+    import numpy as np
+    m, k = A.shape
+    n = B.ncols
+    # block containers are cached on A (keyed weakly on B/mask like
+    # the per-call plan cache) so each block's own ESC plan cache hits
+    # on warm calls — rebuilding blocks per call would orphan those
+    # plans and re-pay the carry build + nnz pull every time
+    import weakref as _wr
+
+    def _wref(x):
+        if x is None:
+            return lambda: None
+        try:
+            return _wr.ref(x)
+        except TypeError:
+            return lambda: x
+    mask_buf = mask.indices if mask is not None else None
+    ckey = "_spgemm_chunks"
+    entry = A._options.get(ckey)
+    blocks = None
+    if entry is not None:
+        rb, rm, blocks_c = entry
+        if rb() is B.indices and rm() is mask_buf:
+            blocks = blocks_c
+    if blocks is None:
+        hpA = A._options.get("host_pattern")
+        hpB = B._options.get("host_pattern")
+        if hpA is not None and hpB is not None:
+            degB = np.bincount(hpB[0][:B.nvals],
+                               minlength=k).astype(np.int64)
+            csum = np.cumsum(degB[hpA[1][:A.nvals]])
+        else:
+            from .tri import _entry_flops_csum
+            csum = np.asarray(_entry_flops_csum(A.indices, B.indptr, k)
+                              )[:A.nvals]
+        nz = len(csum)
+        bounds = [0]
+        prev = 0
+        while bounds[-1] < nz and prev < flops:
+            s0 = bounds[-1]
+            nxt = int(np.searchsorted(csum, prev + _ESC_LANE_CAP,
+                                      side="right"))
+            nxt = min(max(nxt, s0 + 1), nz)
+            bounds.append(nxt)
+            prev = int(csum[nxt - 1])
+        blocks = []
+        for s0, e0 in zip(bounds[:-1], bounds[1:]):
+            cap = _bucket(max(e0 - s0, 8), 128)
+            blk = CsrMatrix(
+                A.indptr,
+                jnp.concatenate([A.indices[s0:e0],
+                                 jnp.full((cap - (e0 - s0),), k,
+                                          A.indices.dtype)]),
+                jnp.concatenate([A.rowids[s0:e0],
+                                 jnp.full((cap - (e0 - s0),), m,
+                                          A.rowids.dtype)]),
+                _tmap(lambda v: jnp.concatenate(
+                    [v[s0:e0], jnp.zeros((cap - (e0 - s0),), v.dtype)]),
+                    A.values),
+                e0 - s0, m, A.ncols, A.type)
+            if hpA is not None:
+                blk._options["host_pattern"] = (hpA[0][s0:e0],
+                                                hpA[1][s0:e0])
+            blocks.append(blk)
+        A._options[ckey] = (_wref(B.indices), _wref(mask_buf), blocks)
+    out = None
+    for blk in blocks:
+        part = csr_spgemm(sr, blk, B, mask=mask, complement=complement,
+                          structural=structural)
+        out = part if out is None else _merge_partials(sr, out, part,
+                                                       m, n)
+    from ..ops.flopcount import record_axb_method
+    record_axb_method("esc:chunked")
+    return out if out is not None else _empty_csr(m, n, sr.ztype)
+
+
+def _merge_partials(sr: Semiring, P: CsrMatrix, Q: CsrMatrix,
+                    m: int, n: int) -> CsrMatrix:
+    """Union-merge two partial CSR outputs with the add monoid on
+    shared keys (split segments across block boundaries)."""
+    zt = sr.ztype
+    kdt = jnp.int32 if (m + 1) * n < (1 << 31) else jnp.int64
+    big = jnp.asarray(np.iinfo(np.dtype(kdt)).max, kdt)
+
+    def keys_of(X):
+        lane = jnp.arange(X.nzmax)
+        live = lane < X.nvals
+        return jnp.where(live,
+                         X.rowids.astype(kdt) * n + X.indices.astype(kdt),
+                         big)
+    kp, kq = keys_of(P), keys_of(Q)
+    keys = jnp.concatenate([kp, kq])
+    tags = jnp.concatenate([jnp.zeros((P.nzmax,), bool),
+                            jnp.ones((Q.nzmax,), bool)])
+
+    def pad2(vp, vq):
+        return _tmap(lambda a, b: jnp.concatenate(
+            [a, jnp.zeros((b.shape[0],), a.dtype)]), vp, vq),                _tmap(lambda a, b: jnp.concatenate(
+                   [jnp.zeros((a.shape[0],), b.dtype), b]), vp, vq)
+    va, vb = pad2(P.values, Q.values)
+    ok, ov, nnz = esc_combine(
+        keys, tags, va, vb, zt, True, big,
+        pair_fn=lambda a, b: sr.add.op(a, b),
+        single_a_fn=lambda a: a, single_b_fn=lambda b: b)
+    nnz = int(nnz)
+    E = ok.shape[0]
+    is_dead = ok == big
+    oi = jnp.where(is_dead, m, (ok // n)).astype(jnp.int32)
+    oj = jnp.where(is_dead, n, (ok % n)).astype(jnp.int32)
+    counts = jax.ops.segment_sum((~is_dead).astype(jnp.int32),
+                                 jnp.minimum(oi, m), num_segments=m + 1)
+    indptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts[:m]).astype(jnp.int32)])
+    cap = min(_bucket(max(nnz, 8)), E)
     return CsrMatrix(indptr, oj[:cap], oi[:cap],
                      _tmap(lambda v: v[:cap], ov), nnz, m, n, zt)
 

@@ -37,3 +37,23 @@ if (_native_dir / "Makefile").exists() and \
                        capture_output=True, timeout=120)
     except Exception:
         pass
+
+
+# XLA:CPU never unmaps jitted code: a full-suite run accumulates ~65K
+# process mappings (measured ~1.5 per compiled program) and LLVM then
+# dies with "Cannot allocate memory" at the kernel's default
+# vm.max_map_count=65530.  Raise the limit when we can (root
+# containers); harmless no-op otherwise.
+def _raise_map_count(target: int = 524288) -> None:
+    path = "/proc/sys/vm/max_map_count"
+    try:
+        with open(path) as f:
+            cur = int(f.read())
+        if cur < target:
+            with open(path, "w") as f:
+                f.write(str(target))
+    except (OSError, ValueError):
+        pass
+
+
+_raise_map_count()

@@ -263,3 +263,48 @@ def test_mxm_cost_model_exact_flops(rng):
     Cc = CsrMatrix.from_coo([], [], np.zeros(0), n, n, type=gb.FP64)
     mxm(Cc, None, None, semiring.plus_times[gb.FP64], A, B)
     assert counters._state["modelled_flops"] == exact
+
+
+def test_chunked_spgemm_matches_single_program(rng):
+    """Flop totals beyond the lane cap split into A-entry blocks whose
+    partials monoid-merge to the identical result (the cap exists
+    because one >2^26-lane program faults the TPU worker)."""
+    import graphblas_tpu.sparse.esc as esc_mod
+    from graphblas_tpu import sparse as sp
+    r = np.random.default_rng(99)
+    n = 400
+    I = r.integers(0, n, 6000)
+    J = r.integers(0, n, 6000)
+    lin = np.unique(I * n + J)
+    I, J = lin // n, lin % n
+    va = (r.random(len(I)) * 3 - 1).astype(np.float32)
+    A = sp.CsrMatrix.from_coo(I, J, va, n, n, type=gb.FP32,
+                              sum_duplicates=False)
+    Bv = (r.random(len(I)) * 2 + 1).astype(np.float32)
+    B = sp.CsrMatrix.from_coo(J, I, Bv, n, n, type=gb.FP32,
+                              sum_duplicates=False)
+    MI = r.integers(0, n, 3000)
+    MJ = r.integers(0, n, 3000)
+    ml = np.unique(MI * n + MJ)
+    M = sp.CsrMatrix.from_coo(ml // n, ml % n,
+                              np.ones(len(ml), np.float32), n, n,
+                              type=gb.FP32, sum_duplicates=False)
+    sr = gb.semiring.plus_times[gb.FP32]
+    for mask in (None, M):
+        ref = esc_mod.csr_spgemm(sr, A, B, mask=mask)
+        old = esc_mod._ESC_LANE_CAP
+        esc_mod._ESC_LANE_CAP = 1 << 14       # force many blocks
+        try:
+            A2 = sp.CsrMatrix.from_coo(I, J, va, n, n, type=gb.FP32,
+                                       sum_duplicates=False)
+            got = esc_mod.csr_spgemm(sr, A2, B, mask=mask)
+        finally:
+            esc_mod._ESC_LANE_CAP = old
+        ri, rj, rx = ref.extractTuples()
+        gi, gj, gx = got.extractTuples()
+        ro = np.lexsort((np.asarray(rj), np.asarray(ri)))
+        go = np.lexsort((np.asarray(gj), np.asarray(gi)))
+        assert np.array_equal(np.asarray(ri)[ro], np.asarray(gi)[go])
+        assert np.array_equal(np.asarray(rj)[ro], np.asarray(gj)[go])
+        np.testing.assert_allclose(np.asarray(rx)[ro],
+                                   np.asarray(gx)[go], rtol=1e-5)
