@@ -44,7 +44,12 @@ if not _os.environ.get("GBTPU_NO_COMPILE_CACHE") \
     try:
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache EVERY program: sub-second compiles through the tunnel
+        # still cost 0.3-1 s each of remote-compiler RTT per process,
+        # and a scale-18 first call traces ~20 programs (measured:
+        # 16 sub-threshold misses = most of the 15 s fresh-process
+        # first call; loads are ~0.06 s each)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:                       # read-only FS: stay in-memory
         pass
