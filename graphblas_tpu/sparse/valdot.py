@@ -74,10 +74,13 @@ _CHUNK_BYTES = 1 << 29
 #: residual folds ~5.5 M lanes/s (~180 ns/lane); a slab pass costs
 #: ~2 ms of fixed overhead (dispatch + scatter-merge)
 _GATHER_BW = 54e9
-_ESC_NS = 180e-9
+_ESC_NS = 230e-9          # measured masked-ESC rate (4.3 M lanes/s)
 _LEVEL_OVERHEAD_S = 2e-3
 
-_MAX_LEVELS = 64
+#: scale-20 measurement: the marginal rule still pays at level 64
+#: (25 ms of slab cost vs 0.39 s of ESC residual), so the cap must sit
+#: far above it; the rule, not the cap, should stop the packing
+_MAX_LEVELS = 320
 
 
 def _bucket2(x: int, lo: int = 128) -> int:
@@ -211,6 +214,11 @@ def build_valdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
     a_rank_s = a_rank[a_ord]
     b_rank_s = b_rank[b_ord]
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _verbose = bool(_os.environ.get("GBTPU_VERBOSE"))
+    _t0 = _time.time()
     levels = []
     cnt_total = None
     sel_end = 0
@@ -287,6 +295,11 @@ def build_valdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
         cnt_total = cnt_l if cnt_total is None else cnt_total + cnt_l
         covered_all += cov_l
         sel_end += kcut_l
+        if _verbose:
+            print(f"[valdot plan {_time.time() - _t0:.0f}s] level "
+                  f"{len(levels)}: cols={kcut_l} na={na} nb={nb} "
+                  f"nlive={nlive} cov={cov_l}", file=_sys.stderr,
+                  flush=True)
     if not levels:
         return None
 
