@@ -116,6 +116,7 @@ class ValdotPlan(NamedTuple):
     light_lanes: int
     levels: tuple
     cnt: jnp.ndarray          # heavy pair count per padded mask entry
+    finite_ok: bool = False   # all operand values finite (plan-time)
 
     @property
     def panel_bytes(self) -> int:
@@ -203,6 +204,13 @@ def build_valdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
 
     xv = cast(A.values, sr.xtype) if not A.type.is_udt else A.values
     yv = cast(B.values, sr.ytype) if not B.type.is_udt else B.values
+    # plus_times fast path eligibility: zero panel pads are EXACT when
+    # every operand value is finite (inf*0/nan would poison the pads);
+    # one plan-time device reduce per operand
+    finite_ok = True
+    for v, t in ((xv, sr.xtype), (yv, sr.ytype)):
+        if np.issubdtype(np.dtype(t.dtype), np.floating):
+            finite_ok = finite_ok and bool(jnp.all(jnp.isfinite(v)))
     # sort entries by column rank once so each slab's entries are one
     # contiguous host range (no per-slab membership scan over all nnz)
     rankk = np.full(kk, nnzk, np.int64)
@@ -313,11 +321,12 @@ def build_valdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
     lk = keep[:A.nvals]
     A_light._options["host_pattern"] = (a_rows[lk], a_cols[lk])
     return ValdotPlan(A_light, level_cols, sel_end, covered_all,
-                      total - covered_all, tuple(levels), cnt_total)
+                      total - covered_all, tuple(levels), cnt_total,
+                      finite_ok)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _valdot_jit(nchunk: int, chunk: int, sr: Semiring,
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _valdot_jit(nchunk: int, chunk: int, sr: Semiring, use_bits: bool,
                 Aval, Bval, Abit, Bbit, live_ai, live_bj, nlive):
     """Gathered-row masked dot over one packed slab for its live mask
     entries (panel coordinates precomputed at plan time), streamed in
@@ -343,20 +352,27 @@ def _valdot_jit(nchunk: int, chunk: int, sr: Semiring,
         i, j, o = args
         a = jnp.take(Aval, i, axis=0)
         b = jnp.take(Bval, j, axis=0)
+        z = sr.mult(a, b)
+        if not zt.is_udt:
+            z = z.astype(zt.dtype)
+        if not use_bits:
+            # plus_times fast path: zero pads contribute exact zeros
+            # (gated on plan-time finiteness), so the bitmap gathers
+            # and the (chunk, S) mask expansion are skipped entirely
+            return jnp.sum(jnp.where(o[:, None], z, 0), axis=1,
+                           dtype=z.dtype)
         aw = jnp.take(Abit, i, axis=0)
         bw = jnp.take(Bbit, j, axis=0)
         pw = aw & bw
         bits = (((pw[:, :, None] >> shifts) & jnp.uint32(1)) != 0
                 ).reshape(chunk, W * 32)[:, :S]
-        z = sr.mult(a, b)
-        if not zt.is_udt:
-            z = z.astype(zt.dtype)
         return sr.add.reduce(z, axis=1, where=bits & o[:, None])
 
     return jax.lax.map(body, (ii, jj, okc)).reshape(E)
 
 
-def _valdot_pass(sr, Av, Bv, Ab, Bb, live_ai, live_bj, nlive):
+def _valdot_pass(sr, Av, Bv, Ab, Bb, live_ai, live_bj, nlive,
+                 use_bits=True):
     from .esc import _bucket
     E = live_ai.shape[0]
     S = Av.shape[1]
@@ -365,7 +381,7 @@ def _valdot_pass(sr, Av, Bv, Ab, Bb, live_ai, live_bj, nlive):
                              _CHUNK_BYTES // max(per, 1)))
     chunk = min(chunk, _bucket(max(E, 8), 128))
     nchunk = (E + chunk - 1) // chunk
-    return _valdot_jit(nchunk, chunk, sr, Av, Bv, Ab, Bb,
+    return _valdot_jit(nchunk, chunk, sr, use_bits, Av, Bv, Ab, Bb,
                        live_ai, live_bj, nlive)[:E]
 
 
@@ -374,13 +390,20 @@ def _valdot_heavy(plan: ValdotPlan, sr: Semiring, M: CsrMatrix):
     entries, merged by monoid scatter into the full accumulator
     (identity start makes plain add.op correct)."""
     zt = sr.ztype
+    # plus_times fast path: padding zeros are exact for PLUS/TIMES over
+    # finite values, so the bitmap side of the pass is skipped
+    use_bits = not (plan.finite_ok
+                    and sr.add.op.name == "PLUS"
+                    and sr.mult.name in ("TIMES", "TIMES_FLIP")
+                    and not zt.is_udt and not zt.is_bool)
     acc = jnp.full((M.nzmax,), sr.add.identity, np.dtype(zt.dtype))
     for lv in plan.levels:
         if lv.nlive == 0:
             continue
         Av, Bv, Ab, Bb = _pack_level(lv)
         part = _valdot_pass(sr, Av, Bv, Ab, Bb,
-                            lv.live_ai, lv.live_bj, lv.nlive)
+                            lv.live_ai, lv.live_bj, lv.nlive,
+                            use_bits=use_bits)
         idx = jnp.clip(lv.live_idx, 0, M.nzmax - 1)
         valid = jnp.arange(lv.live_idx.shape[0]) < lv.nlive
         merged = sr.add.op(acc[idx], part)

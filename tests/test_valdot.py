@@ -164,3 +164,44 @@ def test_valdot_plan_cache(graph):
                               np.asarray(c2.values[:c2.nvals]))
     finally:
         bd._MIN_LANES = old
+
+
+def test_fast_path_and_nonfinite_guard(graph):
+    # finite values: the plus_times fast path (no bitmap reduce) must
+    # equal the bits path; with an inf value the plan must fall back
+    # to the bits path (zero pads would poison inf*0)
+    r, I, J, n, lo = graph
+    import graphblas_tpu.sparse.bitdot as bd
+    sr = semiring.plus_times[gb.FP32]
+    old = bd._MIN_LANES
+    bd._MIN_LANES = 1
+    try:
+        L = _valued_csr(r, I[lo], J[lo], n, gb.FP32, np.float32)
+        U = _valued_csr(r, J[lo], I[lo], n, gb.FP32, np.float32)
+        M = _valued_csr(r, I[lo], J[lo], n, gb.FP32, np.float32)
+        plan_key = ("valdot_plan", "FP32", "FP32")
+        got = valdot_masked_spgemm(sr, L, U, M)
+        assert M._options[plan_key][-1].finite_ok
+        ref = csr_spgemm(sr, L, U, mask=M)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(got.values[:got.nvals])),
+            np.sort(np.asarray(ref.values[:ref.nvals])), rtol=2e-5)
+        # inject an inf into U -> plan must detect and use bits
+        vals = np.asarray(U.values[:U.nvals]).copy()
+        vals[0] = np.inf
+        hp = U._options["host_pattern"]
+        U2 = sp.CsrMatrix.from_coo(hp[0][:U.nvals], hp[1][:U.nvals],
+                                   vals, n, n, type=gb.FP32,
+                                   sum_duplicates=False)
+        M2 = _valued_csr(r, I[lo], J[lo], n, gb.FP32, np.float32)
+        got2 = valdot_masked_spgemm(sr, L, U2, M2)
+        assert not M2._options[plan_key][-1].finite_ok
+        ref2 = csr_spgemm(sr, L, U2, mask=M2)
+        g = np.sort(np.asarray(got2.values[:got2.nvals]))
+        rr = np.sort(np.asarray(ref2.values[:ref2.nvals]))
+        fin = np.isfinite(rr)
+        assert got2.nvals == ref2.nvals
+        np.testing.assert_allclose(g[fin], rr[fin], rtol=2e-5)
+        assert np.array_equal(np.isfinite(g), fin)
+    finally:
+        bd._MIN_LANES = old
