@@ -205,3 +205,38 @@ def test_fast_path_and_nonfinite_guard(graph):
         assert np.array_equal(np.isfinite(g), fin)
     finally:
         bd._MIN_LANES = old
+
+
+def test_public_mxm_routes_through_valdot():
+    # the masked CSR mxm auto-select must try valdot and record it
+    # (graph large enough that the dense-MXU small-scale path bows out:
+    # m*n > 2^24)
+    r = np.random.default_rng(55)
+    I, J, n = _powerlaw(r, n=6000, mult=4)
+    lo = I > J
+    import graphblas_tpu.sparse.bitdot as bd
+    from graphblas_tpu.ops.mxm import mxm
+    from graphblas_tpu.ops.flopcount import last_axb_method
+    from graphblas_tpu.core.descriptor import Descriptor
+    L = _valued_csr(r, I[lo], J[lo], n, gb.FP32, np.float32)
+    U = _valued_csr(r, J[lo], I[lo], n, gb.FP32, np.float32)
+    M = _valued_csr(r, I[lo], J[lo], n, gb.FP32, np.float32)
+    C0 = sp.CsrMatrix.from_coo(np.array([], int), np.array([], int),
+                               np.array([], np.float32), n, n,
+                               type=gb.FP32)
+    old = bd._MIN_LANES
+    bd._MIN_LANES = 1
+    try:
+        C = mxm(C0, M, None, "plus_times", L, U)
+        assert last_axb_method().startswith("valdot")
+        # the explicit gustavson/heap hint must bypass valdot
+        C2 = mxm(C0, M, None, "plus_times", L, U,
+                 Descriptor(axb_method="gustavson"))
+        assert last_axb_method().startswith("esc")
+        assert C.nvals == C2.nvals
+        gi, gj, gx = _tosets(C)
+        ei, ej, ex = _tosets(C2)
+        assert np.array_equal(gi, ei) and np.array_equal(gj, ej)
+        np.testing.assert_allclose(gx, ex, rtol=5e-5, atol=1e-4)
+    finally:
+        bd._MIN_LANES = old
