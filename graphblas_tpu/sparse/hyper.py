@@ -483,6 +483,28 @@ def hyper_spgemm(sr: Semiring, A: HyperMatrix, B: HyperMatrix,
     if flops == 0 or (mask is not None and not complement
                       and mask.nvals == 0):
         return _empty_hyper(m, n, zt)
+    from .esc import _ESC_LANE_CAP
+    if flops > _ESC_LANE_CAP:
+        # a single ESC program beyond the lane cap faults the TPU
+        # worker (esc.py); when the dimensions admit an O(nrows)
+        # indptr, delegate to the lane-capped chunked CSR engine and
+        # convert back — huge-dimension AND huge-flop products raise a
+        # clear error instead of crashing the device
+        from ..ops.containers import _CSR_DIM_CAP
+        if max(m, k, n) <= _CSR_DIM_CAP:
+            from .esc import csr_spgemm
+            Ac, Bc = A.to_csr(), B.to_csr()
+            Mc = mask.to_csr() if mask is not None else None
+            C = csr_spgemm(sr, Ac, Bc, mask=Mc, complement=complement,
+                           structural=structural)
+            I, J, X = C.extractTuples()
+            return hyper_from_coo(np.asarray(I), np.asarray(J), X,
+                                  m, n, type=zt, dup=None)
+        raise NotImplementedError(
+            f"hyper_spgemm: {flops} expansion lanes exceed the "
+            f"single-program lane cap ({_ESC_LANE_CAP}) and the "
+            f"dimensions {A.shape} x {B.shape} exceed the CSR "
+            f"delegation cap; split the product")
     E = _bucket(flops)
     hcap = _bucket(min(E, max(A.nvec, 8)))
 

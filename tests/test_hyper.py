@@ -442,3 +442,45 @@ def test_import_hyper_csr_conforms():
                            type=gb.FP32)
     # 2 non-empty rows of 2^20 -> conforms to hypersparse
     assert isinstance(out, HyperMatrix) and out.nvec == 2
+
+
+def test_hyper_spgemm_lane_cap_delegates(rng):
+    # beyond the lane cap, CSR-sized products delegate to the chunked
+    # CSR engine (same result); huge-dimension ones raise clearly
+    import graphblas_tpu.sparse.esc as esc_mod
+    from graphblas_tpu.sparse.hyper import hyper_from_coo, hyper_spgemm
+    r = np.random.default_rng(7)
+    n = 300
+    I = r.integers(0, n, 3000)
+    J = r.integers(0, n, 3000)
+    lin = np.unique(I * n + J)
+    I, J = lin // n, lin % n
+    X = (r.random(len(I)) + 0.5).astype(np.float32)
+    A = hyper_from_coo(I, J, X, n, n, type=FP32, dup=None)
+    B = hyper_from_coo(J, I, X, n, n, type=FP32, dup=None)
+    sr = semiring.plus_times[FP32]
+    ref = hyper_spgemm(sr, A, B)
+    old = esc_mod._ESC_LANE_CAP
+    esc_mod._ESC_LANE_CAP = 1 << 12
+    try:
+        got = hyper_spgemm(sr, A, B)
+    finally:
+        esc_mod._ESC_LANE_CAP = old
+    assert got.nvals == ref.nvals
+    ri, rj, rx = ref.extractTuples()
+    gi, gj, gx = got.extractTuples()
+    ro = np.lexsort((np.asarray(rj), np.asarray(ri)))
+    go = np.lexsort((np.asarray(gj), np.asarray(gi)))
+    assert np.array_equal(np.asarray(ri)[ro], np.asarray(gi)[go])
+    np.testing.assert_allclose(np.asarray(rx)[ro], np.asarray(gx)[go],
+                               rtol=1e-5)
+    # 2^40-dimension + forced-over-cap: clear error, not a crash
+    H = hyper_from_coo(np.array([0, 1 << 39]), np.array([1 << 39, 7]),
+                       np.ones(2, np.float32), 1 << 40, 1 << 40,
+                       type=FP32, dup=None)
+    esc_mod._ESC_LANE_CAP = 0
+    try:
+        with pytest.raises(NotImplementedError, match="lane cap"):
+            hyper_spgemm(sr, H, H)
+    finally:
+        esc_mod._ESC_LANE_CAP = old
