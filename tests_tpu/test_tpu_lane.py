@@ -275,7 +275,12 @@ def test_spmm_ell_on_chip(rng):
     y, ypat = csr_spmm_dense(sr, A, jnp.asarray(X))
     want = Av.astype(np.float64) @ X.astype(np.float64)
     live = Ap.any(axis=1)
-    assert np.allclose(np.asarray(y)[live], want[live], rtol=1e-4)
+    # rtol alone is the wrong criterion for near-cancelling f32 dots:
+    # measured on-chip abs error is <= 2.5e-6, but entries with
+    # |want| ~ 1e-4 then fail a pure rtol=1e-4 check on reduction-order
+    # grounds.  atol=1e-5 covers the measured abs-error envelope 4x.
+    assert np.allclose(np.asarray(y)[live], want[live],
+                       rtol=1e-4, atol=1e-5)
     assert np.array_equal(np.asarray(ypat)[:, 0], live)
 
 
