@@ -63,17 +63,25 @@ from .bitdot import _auto_budget, _host_cols_rows, _pack_jit
 __all__ = ["ValdotPlan", "build_valdot_plan", "valdot_masked_spgemm"]
 
 #: slab width in columns: small enough that live lists localize the
-#: gather traffic, wide enough to amortize per-slab overhead
-_LEVEL_COLS = 1024
+#: gather traffic, wide enough to amortize per-row DMA-issue latency
+#: and per-slab overhead.  Measured sweep (scale-16 R-MAT, fused
+#: Pallas gather-dot, PERF.md round 5): 1024 -> 96, 2048 -> 184,
+#: 4096 -> 198 M flops/s; 4096 is also the widest row under the 16 MB
+#: scoped-VMEM cap for the fused kernel's double buffers.
+_LEVEL_COLS = 4096
 
 #: per-chunk gathered panel bytes cap
 _CHUNK_BYTES = 1 << 29
 
-#: calibration for the marginal slab rule (measured on the v5e via the
-#: tunnel, PERF.md): value row-gathers stream at ~54 GB/s; the ESC
-#: residual folds ~5.5 M lanes/s (~180 ns/lane); a slab pass costs
-#: ~2 ms of fixed overhead (dispatch + scatter-merge)
-_GATHER_BW = 54e9
+#: calibration for the marginal slab rule: the fused Pallas gather-dot
+#: (``_gd_kernel``) measures 72 ns/lane at S=1024 and 85 ns/lane at
+#: S=4096 on the v5e (both panel rows DMA'd + reduced in VMEM, fully
+#: overlapped) — i.e. ~35 ns of issue latency per row plus bytes at an
+#: effective ~1.6 TB/s (both rows' streams overlap compute); the ESC
+#: residual folds ~4.3 M lanes/s; a slab pass costs ~2 ms of fixed
+#: overhead (dispatch + scatter-merge)
+_ISSUE_NS = 35e-9
+_STREAM_BW = 1.6e12
 _ESC_NS = 230e-9          # measured masked-ESC rate (4.3 M lanes/s)
 _LEVEL_OVERHEAD_S = 2e-3
 
@@ -126,14 +134,18 @@ class ValdotPlan(NamedTuple):
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _pack_vals_jit(nrows: int, S: int, rows, slots, vals):
-    """Scatter entry values into the (nrows, S) panel (zeros = absent;
-    absence is tracked by the bitmaps, not the zeros)."""
+    """Scatter entry values into the (nrows, 8, S//8) panel (zeros =
+    absent; absence is tracked by the bitmaps, not the zeros).  The
+    tile-rowed 3-D shape makes a single panel row one whole-tile HBM
+    slice — DMA-able by the Pallas gather-dot kernel (the Mosaic
+    constraint found by ``tools/gatherdot_probe.py``); slot s lives at
+    [s // (S//8), s % (S//8)], the row-major reshape of the flat row."""
     tgt = jnp.where(slots >= 0,
                     rows.astype(jnp.int64) * S + slots.astype(jnp.int64),
                     nrows * S)
     return (jnp.zeros((nrows * S + 1,), vals.dtype)
             .at[tgt].set(vals, mode="drop")[:nrows * S]
-            .reshape(nrows, S))
+            .reshape(nrows, 8, S // 8))
 
 
 def _slot_words(S: int) -> int:
@@ -166,7 +178,7 @@ def build_valdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
                       budget_bytes: Optional[int] = None,
                       min_lanes: Optional[int] = None,
                       max_levels: int = _MAX_LEVELS,
-                      level_cols: int = _LEVEL_COLS
+                      level_cols: Optional[int] = None
                       ) -> Optional[ValdotPlan]:
     """Host-side plan for C<M> = A *.sr* B over the heavy columns.
 
@@ -178,6 +190,9 @@ def build_valdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
     import graphblas_tpu.sparse.bitdot as _bd
     from .bitdot import _bitdot_pass
     from .esc import _bucket
+    if level_cols is None:
+        import os as _os0
+        level_cols = int(_os0.environ.get("GBTPU_VALDOT_S", _LEVEL_COLS))
     if budget_bytes is None:
         budget_bytes = _auto_budget()
     if min_lanes is None:
@@ -280,7 +295,7 @@ def build_valdot_plan(M: CsrMatrix, A: CsrMatrix, B: CsrMatrix,
         cnt_l = _bitdot_pass(Ab, Bb, amap_d, bmap_d, M)
         # one plan-time sync per slab: the live count
         nlive = int(jnp.sum(cnt_l > 0))
-        cost = (nlive * (isa + isb) * S / _GATHER_BW
+        cost = (nlive * (2 * _ISSUE_NS + S * (isa + isb) / _STREAM_BW)
                 + _LEVEL_OVERHEAD_S)
         if cost >= cov_l * _ESC_NS:
             break                       # marginal break-even: stop
@@ -334,7 +349,7 @@ def _valdot_jit(nchunk: int, chunk: int, sr: Semiring, use_bits: bool,
     aligned with the (padded) live list."""
     na = Aval.shape[0]
     nb = Bval.shape[0]
-    S = Aval.shape[1]
+    S = Aval.shape[1] * Aval.shape[2]
     W = Abit.shape[1]
     E = nchunk * chunk
     t = jnp.arange(E, dtype=jnp.int32)
@@ -350,8 +365,8 @@ def _valdot_jit(nchunk: int, chunk: int, sr: Semiring, use_bits: bool,
 
     def body(args):
         i, j, o = args
-        a = jnp.take(Aval, i, axis=0)
-        b = jnp.take(Bval, j, axis=0)
+        a = jnp.take(Aval, i, axis=0).reshape(chunk, S)
+        b = jnp.take(Bval, j, axis=0).reshape(chunk, S)
         z = sr.mult(a, b)
         if not zt.is_udt:
             z = z.astype(zt.dtype)
@@ -375,7 +390,7 @@ def _valdot_pass(sr, Av, Bv, Ab, Bb, live_ai, live_bj, nlive,
                  use_bits=True):
     from .esc import _bucket
     E = live_ai.shape[0]
-    S = Av.shape[1]
+    S = Av.shape[1] * Av.shape[2]
     per = S * (Av.dtype.itemsize + Bv.dtype.itemsize + 8) + S // 2
     chunk = max(1 << 10, min(_bucket(max(E, 8), 1 << 10),
                              _CHUNK_BYTES // max(per, 1)))
@@ -383,6 +398,138 @@ def _valdot_pass(sr, Av, Bv, Ab, Bb, live_ai, live_bj, nlive,
     nchunk = (E + chunk - 1) // chunk
     return _valdot_jit(nchunk, chunk, sr, use_bits, Av, Bv, Ab, Bb,
                        live_ai, live_bj, nlive)[:E]
+
+
+#: lanes per Pallas gather-dot call: both int32 index arrays must fit
+#: the 1 MB SMEM scalar-prefetch space (probe: cap index arrays)
+_GD_SEG = 1 << 16
+#: double buffers in flight
+_GD_NBUF = 2
+
+
+def _gd_kernel(B, nbuf, ai_ref, bj_ref, a_hbm, b_hbm, out_ref,
+               a_buf, b_buf, sems):
+    """Fused gather-dot: DMA one panel row per side per lane into VMEM
+    (double-buffered, shared per-(slot, side) semaphores) and reduce
+    in place — no HBM materialization of the gathered panels, which is
+    where the XLA take() formulation spends ~2/3 of its time
+    (PERF.md round 5: 277 ns/lane XLA vs ~107 ns/lane fused at S=1024,
+    ``tools/gatherdot_probe.py`` pattern)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.experimental import pallas as pl
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    # the library runs with jax x64 enabled, under which Python-int
+    # indices trace as i64 — Mosaic's memref_slice requires i32
+    i32 = jnp.int32
+
+    def start(slot, s):
+        base = s * B
+        for t in range(B):
+            pltpu.make_async_copy(
+                a_hbm.at[ai_ref[base + t]],
+                a_buf.at[slot, i32(t)], sems.at[slot, i32(0)]).start()
+            pltpu.make_async_copy(
+                b_hbm.at[bj_ref[base + t]],
+                b_buf.at[slot, i32(t)], sems.at[slot, i32(1)]).start()
+
+    @pl.when(step == 0)
+    def _():
+        for s in range(nbuf):
+            @pl.when(s < nsteps)
+            def _(s=s):
+                start(i32(s), i32(s))
+
+    slot = jax.lax.convert_element_type(
+        jax.lax.rem(step, jnp.astype(nbuf, step.dtype)), jnp.int32)
+    for t in range(B):
+        pltpu.make_async_copy(a_hbm.at[i32(0)], a_buf.at[slot, i32(t)],
+                              sems.at[slot, i32(0)]).wait()
+        pltpu.make_async_copy(b_hbm.at[i32(0)], b_buf.at[slot, i32(t)],
+                              sems.at[slot, i32(1)]).wait()
+    x = a_buf[slot] * b_buf[slot]              # (B, 8, S//8)
+    s1 = jnp.sum(x, axis=2)                    # (B, 8)
+    out_ref[pl.ds(step, 1), :] = jnp.sum(s1, axis=1).reshape(1, B)
+    nxt = step + nbuf
+
+    @pl.when(nxt < nsteps)
+    def _():
+        start(slot, nxt)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _gd_jit(B: int, interpret: bool, ai, bj, Av3, Bv3):
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.experimental import pallas as pl
+    E = ai.shape[0]
+    nsteps = E // B
+    w8 = Av3.shape[2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nsteps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((nsteps, B),
+                               lambda i, *_: (jnp.int32(0),
+                                              jnp.int32(0))),
+        scratch_shapes=[
+            pltpu.VMEM((_GD_NBUF, B, 8, w8), Av3.dtype),
+            pltpu.VMEM((_GD_NBUF, B, 8, w8), Bv3.dtype),
+            pltpu.SemaphoreType.DMA((_GD_NBUF, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_gd_kernel, B, _GD_NBUF),
+        out_shape=jax.ShapeDtypeStruct((nsteps, B), Av3.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ai, bj, Av3, Bv3)
+    return out.reshape(E)
+
+
+def _gd_rows_per_step(S: int, itemsize: int) -> int:
+    # Mosaic's scoped-VMEM limit is 16 MB: total scratch is
+    # NBUF * B * S * itemsize * 2 sides, so keep it under ~12 MB
+    # (S=8192 f32 at B=128 measured 16.25 MB — over the limit).
+    # B is also the out block's minor dim: keep it a multiple of 128.
+    cap = (12 << 20) // max(_GD_NBUF * 2 * S * itemsize, 1)
+    return max(128, min(512, cap // 128 * 128))
+
+
+def _pallas_gatherdot(Av3, Bv3, live_ai, live_bj, nlive,
+                      interpret=None):
+    """Segmented fused gather-dot over the (padded) live list.  Padded
+    lanes gather row 0 (clipped indices) and are dropped downstream by
+    the validity scatter — same contract as ``_valdot_pass``."""
+    from .esc import _bucket
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    S = Av3.shape[1] * Av3.shape[2]
+    B = _gd_rows_per_step(S, Av3.dtype.itemsize)
+    E = live_ai.shape[0]
+    na = Av3.shape[0]
+    nb = Bv3.shape[0]
+    # pow2 call width >= the live prefix: full _GD_SEG segments plus at
+    # most one pow2 tail — a bounded program-shape set (compiles are
+    # paid through the tunnel; see PERF.md cold-start ledger)
+    Ecall = min(_bucket(max(nlive, B), B), E if E % B == 0
+                else _bucket(E, B))
+    ai = jnp.clip(live_ai, 0, na - 1).astype(jnp.int32)
+    bj = jnp.clip(live_bj, 0, nb - 1).astype(jnp.int32)
+    if Ecall > E:
+        ai = jnp.pad(ai, (0, Ecall - E))
+        bj = jnp.pad(bj, (0, Ecall - E))
+    outs = []
+    off = 0
+    while off < Ecall:
+        seg = min(_GD_SEG, Ecall - off)
+        outs.append(_gd_jit(B, interpret, ai[off:off + seg],
+                            bj[off:off + seg], Av3, Bv3))
+        off += seg
+    got = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    if got.shape[0] < E:
+        got = jnp.pad(got, (0, E - got.shape[0]))
+    return got[:E]
 
 
 def _valdot_heavy(plan: ValdotPlan, sr: Semiring, M: CsrMatrix):
@@ -396,14 +543,31 @@ def _valdot_heavy(plan: ValdotPlan, sr: Semiring, M: CsrMatrix):
                     and sr.add.op.name == "PLUS"
                     and sr.mult.name in ("TIMES", "TIMES_FLIP")
                     and not zt.is_udt and not zt.is_bool)
+    # fused Pallas gather-dot: fast path only (the bitmap variant's
+    # mask expansion stays in the XLA formulation), same-dtype panels,
+    # tile-rowed shape, real TPU backend (CPU tests cover the kernel
+    # via interpret mode in tests/test_valdot.py)
+    use_fused = (not use_bits
+                 and jax.default_backend() != "cpu"
+                 and np.dtype(sr.xtype.dtype) == np.dtype(zt.dtype)
+                 and np.dtype(sr.ytype.dtype) == np.dtype(zt.dtype)
+                 and np.dtype(zt.dtype) in (np.dtype(np.float32),
+                                            np.dtype(np.int32))
+                 # scoped-VMEM: 2 buffers x 128 rows x 2 sides must fit
+                 # 16 MB, so panel rows are capped at 16 KB
+                 and plan.S * np.dtype(zt.dtype).itemsize <= (16 << 10))
     acc = jnp.full((M.nzmax,), sr.add.identity, np.dtype(zt.dtype))
     for lv in plan.levels:
         if lv.nlive == 0:
             continue
         Av, Bv, Ab, Bb = _pack_level(lv)
-        part = _valdot_pass(sr, Av, Bv, Ab, Bb,
-                            lv.live_ai, lv.live_bj, lv.nlive,
-                            use_bits=use_bits)
+        if use_fused:
+            part = _pallas_gatherdot(Av, Bv, lv.live_ai, lv.live_bj,
+                                     lv.nlive)
+        else:
+            part = _valdot_pass(sr, Av, Bv, Ab, Bb,
+                                lv.live_ai, lv.live_bj, lv.nlive,
+                                use_bits=use_bits)
         idx = jnp.clip(lv.live_idx, 0, M.nzmax - 1)
         valid = jnp.arange(lv.live_idx.shape[0]) < lv.nlive
         merged = sr.add.op(acc[idx], part)

@@ -240,3 +240,58 @@ def test_public_mxm_routes_through_valdot():
         np.testing.assert_allclose(gx, ex, rtol=5e-5, atol=1e-4)
     finally:
         bd._MIN_LANES = old
+
+
+def test_pallas_gatherdot_interpret(graph):
+    """The fused Pallas gather-dot (the TPU fast path for plus_times)
+    in interpret mode vs a numpy oracle: padded live lists, nlive < E,
+    clipped indices, f32 and exact int32."""
+    from graphblas_tpu.sparse.valdot import _pallas_gatherdot
+    r = np.random.default_rng(5)
+    for dtype, rtol in ((np.float32, 1e-5), (np.int32, 0)):
+        na, nb, S = 96, 80, 1024
+        Av = r.integers(0, 7, (na, 8, S // 8)).astype(dtype)
+        Bv = r.integers(0, 7, (nb, 8, S // 8)).astype(dtype)
+        E, nlive = 384, 301
+        ai = r.integers(-1, na, E).astype(np.int32)   # -1: clip guard
+        bj = r.integers(0, nb, E).astype(np.int32)
+        got = np.asarray(_pallas_gatherdot(
+            jnp.asarray(Av), jnp.asarray(Bv), jnp.asarray(ai),
+            jnp.asarray(bj), nlive, interpret=True))
+        A2 = Av.reshape(na, S)
+        B2 = Bv.reshape(nb, S)
+        want = np.einsum("es,es->e",
+                         A2[np.clip(ai[:nlive], 0, na - 1)],
+                         B2[bj[:nlive]])
+        if rtol:
+            np.testing.assert_allclose(got[:nlive], want, rtol=rtol)
+        else:
+            assert np.array_equal(got[:nlive], want)
+
+
+def test_valdot_fused_heavy_interpret(graph, monkeypatch):
+    """End-to-end valdot with the fused kernel forced on (interpret
+    mode on CPU) must match the XLA fast-path result exactly in
+    pattern and to fp tolerance in values."""
+    import graphblas_tpu.sparse.valdot as vd
+    L, U, M = _mk(graph, np.float32, gb.FP32)
+    sr = semiring.plus_times[gb.FP32]
+    ref = csr_spgemm(sr, L, U, mask=M)
+    plan = build_valdot_plan(M, L, U, sr, min_lanes=1)
+    assert plan is not None and plan.finite_ok
+    monkeypatch.setattr(vd.jax, "default_backend", lambda: "tpu")
+    orig = vd._pallas_gatherdot
+    monkeypatch.setattr(
+        vd, "_pallas_gatherdot",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+    import graphblas_tpu.sparse.bitdot as bd
+    monkeypatch.setattr(bd, "_MIN_LANES", 1)
+    M._options[("valdot_plan", "FP32", "FP32")] = (
+        vd._ref(L.indices), vd._ref(L.values), vd._ref(U.indices),
+        vd._ref(U.values), plan)
+    got = valdot_masked_spgemm(sr, L, U, M)
+    assert got is not None
+    ri, rj, rx = _tosets(ref)
+    gi, gj, gx = _tosets(got)
+    assert np.array_equal(ri, gi) and np.array_equal(rj, gj)
+    np.testing.assert_allclose(rx, gx, rtol=2e-5, atol=2e-6)
